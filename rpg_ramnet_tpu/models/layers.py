@@ -1,0 +1,353 @@
+"""Functional NHWC conv layers with explicit param pytrees.
+
+Design: every layer is a pair of pure functions ``*_init(key, ...) -> params``
+and ``*_apply(params, x, ...) -> y``.  Params are nested dicts whose key names
+mirror the reference PyTorch module names (reference model/submodules.py) so
+that checkpoint conversion (compat/) is a mechanical transpose+regroup.
+
+Data layout is NHWC (TPU-native; channels on the 128-lane minor dimension).
+Conv kernels are stored HWIO.  All paddings are explicit (low, high) pairs so
+outputs match torch's symmetric-padding semantics exactly (XLA 'SAME' pads
+asymmetrically for stride 2 and would NOT match).
+
+Capability parity reference: RAM_Net/model/submodules.py (ConvLayer:8,
+UpsampleConvLayer:69, TransposedConvLayer:38, ResidualBlock:182, ConvLSTM:303,
+ConvGRU:414, RecurrentConvLayer:100, Recurrent2ConvLayer:122).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# initializers (match torch defaults so training-from-scratch is comparable)
+# ---------------------------------------------------------------------------
+
+
+def _torch_conv_init(key, kh, kw, in_ch, out_ch, dtype=jnp.float32):
+    """torch nn.Conv2d default init: kaiming_uniform(a=sqrt(5)) on weight,
+    uniform(+-1/sqrt(fan_in)) on bias; both reduce to U(-1/sqrt(fan_in), ...)
+    for the weight bound sqrt(3)*gain/sqrt(fan_in) with gain=sqrt(1/3)."""
+    fan_in = in_ch * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    k_w, k_b = jax.random.split(key)
+    w = jax.random.uniform(k_w, (kh, kw, in_ch, out_ch), dtype, -bound, bound)
+    b = jax.random.uniform(k_b, (out_ch,), dtype, -bound, bound)
+    return w, b
+
+
+def _orthogonal_oihw(key, kh, kw, in_ch, out_ch, dtype=jnp.float32):
+    """torch init.orthogonal_ on an OIHW conv weight flattens to
+    (out_ch, in_ch*kh*kw) (reference submodules.py:429-431 for ConvGRU gates).
+    Returns the HWIO layout equivalent."""
+    rows, cols = out_ch, in_ch * kh * kw
+    flat = jax.nn.initializers.orthogonal(column_axis=-1)(key, (rows, cols), dtype)
+    oihw = flat.reshape(out_ch, in_ch, kh, kw)
+    return jnp.transpose(oihw, (2, 3, 1, 0))  # -> HWIO
+
+
+# ---------------------------------------------------------------------------
+# primitive conv
+# ---------------------------------------------------------------------------
+
+
+def conv2d(x, w, b=None, stride: int = 1, padding: int = 0):
+    """NHWC conv with explicit symmetric padding (torch semantics)."""
+    dtype = x.dtype
+    y = lax.conv_general_dilated(
+        x, w.astype(dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
+
+
+def conv2d_transpose(x, w, b=None, stride: int = 2, padding: int = 2,
+                     output_padding: int = 1):
+    """Matches torch nn.ConvTranspose2d(k, stride=2, padding, output_padding=1).
+
+    Implemented as input dilation (lhs_dilation) + padded conv with the
+    spatially-flipped kernel, which is the definition of transposed conv.
+    """
+    dtype = x.dtype
+    kh, kw = w.shape[0], w.shape[1]
+    # torch transposed conv: out = (in-1)*stride - 2*padding + k + output_padding
+    pad_lo = kh - 1 - padding
+    pad_hi = kh - 1 - padding + output_padding
+    y = lax.conv_general_dilated(
+        x, jnp.flip(w, (0, 1)).astype(dtype),
+        window_strides=(1, 1),
+        padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
+
+
+def upsample2x_bilinear(x):
+    """Bilinear x2 upsample, torch align_corners=False semantics (half-pixel
+    centers), NHWC.  Equals f.interpolate(scale_factor=2, mode='bilinear',
+    align_corners=False) used in reference submodules.py:88."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="bilinear")
+
+
+def _activation_fn(name: Optional[str]):
+    if name is None or name == "identity":
+        return lambda x: x
+    if name == "relu":
+        return jax.nn.relu
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    if name == "tanh":
+        return jnp.tanh
+    raise KeyError(f"unknown activation {name}")
+
+
+# ---------------------------------------------------------------------------
+# ConvLayer  (reference submodules.py:8-35)
+# ---------------------------------------------------------------------------
+
+
+def conv_layer_init(key, in_ch, out_ch, kernel_size, norm=None, dtype=jnp.float32):
+    kh = kw = kernel_size
+    w, b = _torch_conv_init(key, kh, kw, in_ch, out_ch, dtype)
+    p = {"conv2d": {"weight": w, "bias": b}}
+    if norm in ("BN", "IN"):
+        p["norm_layer"] = {
+            "weight": jnp.ones((out_ch,), dtype),
+            "bias": jnp.zeros((out_ch,), dtype),
+            "running_mean": jnp.zeros((out_ch,), dtype),
+            "running_var": jnp.ones((out_ch,), dtype),
+        }
+    return p
+
+
+def _apply_norm(p, x, norm, eps=1e-5):
+    """Inference-mode BN / IN with tracked stats (reference uses
+    track_running_stats=True for IN as well, submodules.py:24)."""
+    if norm == "BN":
+        nl = p["norm_layer"]
+        inv = lax.rsqrt(nl["running_var"] + eps)
+        return (x - nl["running_mean"]) * inv * nl["weight"] + nl["bias"]
+    if norm == "IN":
+        nl = p["norm_layer"]
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        y = (x - mean) * lax.rsqrt(var + eps)
+        return y * nl["weight"] + nl["bias"]
+    return x
+
+
+def conv_layer_apply(p, x, stride=1, padding=0, activation="relu", norm=None):
+    out = conv2d(x, p["conv2d"]["weight"], p["conv2d"]["bias"], stride, padding)
+    out = _apply_norm(p, out, norm)
+    return _activation_fn(activation)(out)
+
+
+# ---------------------------------------------------------------------------
+# UpsampleConvLayer (submodules.py:69-97) / TransposedConvLayer (:38-66)
+# ---------------------------------------------------------------------------
+
+
+def upsample_conv_layer_init(key, in_ch, out_ch, kernel_size, norm=None, dtype=jnp.float32):
+    return conv_layer_init(key, in_ch, out_ch, kernel_size, norm, dtype)
+
+
+def upsample_conv_layer_apply(p, x, padding=2, activation="relu", norm=None):
+    out = conv2d(upsample2x_bilinear(x), p["conv2d"]["weight"], p["conv2d"]["bias"], 1, padding)
+    out = _apply_norm(p, out, norm)
+    return _activation_fn(activation)(out)
+
+
+def transposed_conv_layer_init(key, in_ch, out_ch, kernel_size, norm=None, dtype=jnp.float32):
+    kh = kw = kernel_size
+    # torch ConvTranspose2d weight is (in, out, kh, kw); fan_in = out*k*k? No:
+    # torch uses weight.size(1)*k*k = out_ch*k*k for ConvTranspose fan_in.
+    fan_in = out_ch * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    k_w, k_b = jax.random.split(key)
+    w = jax.random.uniform(k_w, (kh, kw, in_ch, out_ch), dtype, -bound, bound)
+    b = jax.random.uniform(k_b, (out_ch,), dtype, -bound, bound)
+    p = {"transposed_conv2d": {"weight": w, "bias": b}}
+    if norm in ("BN", "IN"):
+        p["norm_layer"] = {
+            "weight": jnp.ones((out_ch,), dtype), "bias": jnp.zeros((out_ch,), dtype),
+            "running_mean": jnp.zeros((out_ch,), dtype), "running_var": jnp.ones((out_ch,), dtype),
+        }
+    return p
+
+
+def transposed_conv_layer_apply(p, x, padding=2, activation="relu", norm=None):
+    out = conv2d_transpose(x, p["transposed_conv2d"]["weight"],
+                           p["transposed_conv2d"]["bias"], 2, padding, 1)
+    out = _apply_norm(p, out, norm)
+    return _activation_fn(activation)(out)
+
+
+# ---------------------------------------------------------------------------
+# ResidualBlock (submodules.py:182-215)
+# ---------------------------------------------------------------------------
+
+
+def residual_block_init(key, in_ch, out_ch, norm=None, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    w1, b1 = _torch_conv_init(k1, 3, 3, in_ch, out_ch, dtype)
+    w2, b2 = _torch_conv_init(k2, 3, 3, out_ch, out_ch, dtype)
+    p = {"conv1": {"weight": w1, "bias": b1}, "conv2": {"weight": w2, "bias": b2}}
+    if norm in ("BN", "IN"):
+        for n in ("bn1", "bn2"):
+            p[n] = {"weight": jnp.ones((out_ch,), dtype), "bias": jnp.zeros((out_ch,), dtype),
+                    "running_mean": jnp.zeros((out_ch,), dtype), "running_var": jnp.ones((out_ch,), dtype)}
+    return p
+
+
+def residual_block_apply(p, x, norm=None):
+    residual = x
+    out = conv2d(x, p["conv1"]["weight"], p["conv1"]["bias"], 1, 1)
+    if norm in ("BN", "IN"):
+        out = _apply_norm({"norm_layer": p["bn1"]}, out, norm)
+    out = jax.nn.relu(out)
+    out = conv2d(out, p["conv2"]["weight"], p["conv2"]["bias"], 1, 1)
+    if norm in ("BN", "IN"):
+        out = _apply_norm({"norm_layer": p["bn2"]}, out, norm)
+    return jax.nn.relu(out + residual)
+
+
+# ---------------------------------------------------------------------------
+# Recurrent cells.  Pure functions (params, x, state) -> (y, state)
+# ---------------------------------------------------------------------------
+
+
+def conv_lstm_init(key, input_size, hidden_size, kernel_size=3, dtype=jnp.float32):
+    """ConvLSTM (submodules.py:303-358): one fused 4-gate conv on cat(x, h).
+    Gate (channel-chunk) order: in, forget('remember'), out, cell."""
+    w, b = _torch_conv_init(key, kernel_size, kernel_size,
+                            input_size + hidden_size, 4 * hidden_size, dtype)
+    return {"Gates": {"weight": w, "bias": b}}
+
+
+def conv_lstm_apply(p, x, state: Tuple[jnp.ndarray, jnp.ndarray], padding=1):
+    prev_hidden, prev_cell = state
+    stacked = jnp.concatenate([x, prev_hidden], axis=-1)
+    gates = conv2d(stacked, p["Gates"]["weight"], p["Gates"]["bias"], 1, padding)
+    in_g, rem_g, out_g, cell_g = jnp.split(gates, 4, axis=-1)
+    in_g = jax.nn.sigmoid(in_g)
+    rem_g = jax.nn.sigmoid(rem_g)
+    out_g = jax.nn.sigmoid(out_g)
+    cell_g = jnp.tanh(cell_g)
+    cell = rem_g * prev_cell + in_g * cell_g
+    hidden = out_g * jnp.tanh(cell)
+    return hidden, cell
+
+
+def conv_gru_init(key, input_size, hidden_size, kernel_size=3, dtype=jnp.float32):
+    """ConvGRU (submodules.py:414-454): three gate convs with orthogonal
+    weight init and zero bias (submodules.py:429-434)."""
+    ks = jax.random.split(key, 3)
+    names = ("reset_gate", "update_gate", "out_gate")
+    p = {}
+    for k, name in zip(ks, names):
+        w = _orthogonal_oihw(k, kernel_size, kernel_size,
+                             input_size + hidden_size, hidden_size, dtype)
+        p[name] = {"weight": w, "bias": jnp.zeros((hidden_size,), dtype)}
+    return p
+
+
+def conv_gru_apply(p, x, prev_state, padding=1):
+    stacked = jnp.concatenate([x, prev_state], axis=-1)
+    update = jax.nn.sigmoid(conv2d(stacked, p["update_gate"]["weight"], p["update_gate"]["bias"], 1, padding))
+    reset = jax.nn.sigmoid(conv2d(stacked, p["reset_gate"]["weight"], p["reset_gate"]["bias"], 1, padding))
+    stacked_reset = jnp.concatenate([x, prev_state * reset], axis=-1)
+    out = jnp.tanh(conv2d(stacked_reset, p["out_gate"]["weight"], p["out_gate"]["bias"], 1, padding))
+    return prev_state * (1.0 - update) + out * update
+
+
+# RecurrentConvLayer (submodules.py:100-120): bare recurrent block (its conv
+# is commented out in the reference), used for per-scale state combination.
+
+
+def recurrent_conv_layer_init(key, out_ch, recurrent_block_type="convlstm", dtype=jnp.float32):
+    if recurrent_block_type == "convlstm":
+        blk = conv_lstm_init(key, out_ch, out_ch, 3, dtype)
+    else:
+        blk = conv_gru_init(key, out_ch, out_ch, 3, dtype)
+    return {"recurrent_block": blk}
+
+
+def recurrent_conv_layer_apply(p, x, prev_state, recurrent_block_type="convlstm"):
+    """Returns (y, state) like the reference: y = hidden for convlstm, y = new
+    state for convgru."""
+    if recurrent_block_type == "convlstm":
+        state = conv_lstm_apply(p["recurrent_block"], x, prev_state)
+        return state[0], state
+    state = conv_gru_apply(p["recurrent_block"], x, prev_state)
+    return state, state
+
+
+# Recurrent2ConvLayer (submodules.py:122-142): conv (stride-2) then recurrent.
+
+
+def recurrent2_conv_layer_init(key, in_ch, out_ch, kernel_size=5,
+                               recurrent_block_type="convlstm", norm=None, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    p = {"conv": conv_layer_init(k1, in_ch, out_ch, kernel_size, norm, dtype)}
+    if recurrent_block_type == "convlstm":
+        p["recurrent_block"] = conv_lstm_init(k2, out_ch, out_ch, 3, dtype)
+    else:
+        p["recurrent_block"] = conv_gru_init(k2, out_ch, out_ch, 3, dtype)
+    return p
+
+
+def recurrent2_conv_layer_apply(p, x, prev_state, stride=2, padding=2,
+                                recurrent_block_type="convlstm", norm=None):
+    x = conv_layer_apply(p["conv"], x, stride, padding, "relu", norm)
+    if recurrent_block_type == "convlstm":
+        state = conv_lstm_apply(p["recurrent_block"], x, prev_state)
+        return state[0], state
+    state = conv_gru_apply(p["recurrent_block"], x, prev_state)
+    return state, state
+
+
+# ---------------------------------------------------------------------------
+# PhasedLSTM time gate (submodules.py:218-300) — irregular-timestamp hook.
+# ---------------------------------------------------------------------------
+
+
+def phased_lstm_gate_init(key, hidden_size, period_init_min=0.02,
+                          period_init_max=50.0, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    log_period = jax.random.uniform(
+        k1, (hidden_size,), dtype, math.log(period_init_min), math.log(period_init_max))
+    tau = jnp.exp(log_period)
+    phase = jax.random.uniform(k2, (hidden_size,), dtype) * tau
+    return {"tau": tau, "phase": phase}
+
+
+def phased_lstm_gate_apply(p, c_s, h_s, c0, h0, t, leak=0.001, ratio_on=0.1):
+    """Time gate k(t) blending new state (c_s, h_s) with previous (c0, h0).
+
+    phi = |mod(t - phase, tau)| / tau;   k = k_up / k_down / leak*phi regions
+    (submodules.py:285-300).  Shapes: states [B, F]; t [B]."""
+    tau = p["tau"][None, :]
+    phase = p["phase"][None, :]
+    t_ = t[:, None]
+    phi = jnp.abs(jnp.fmod(t_ - phase, tau)) / tau
+    k_up = 2.0 * phi / ratio_on
+    k_down = 2.0 - k_up
+    k_closed = leak * phi
+    k = jnp.where(phi < ratio_on, k_down, k_closed)
+    k = jnp.where(phi < 0.5 * ratio_on, k_up, k)
+    c_new = k * c_s + (1.0 - k) * c0
+    h_new = k * h_s + (1.0 - k) * h0
+    return h_new, c_new

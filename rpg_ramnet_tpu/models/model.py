@@ -1,0 +1,141 @@
+"""Task-level model architectures (ERGB2Depth, ERGB2DepthRecurrent).
+
+Capability reference: RAM_Net/model/model.py:79-219.  The reference threads
+python dicts through per-step module calls; here each architecture exposes
+
+  init_params(key, cfg)                       -> params pytree
+  init_state(cfg, B, H, W)                    -> state pytree (zeros)
+  forward_package(params, cfg, state, pkg)    -> (state, {key: pred})
+  forward_sequence(params, cfg, state, seq)   -> (state, {key: [L, ...] preds})
+
+where a "datapackage" pkg is {'events': [B, K, H, W, Ce], 'image':
+[B, H, W, Ci]} — K event voxel grids followed by one frame, mirroring the
+reference datapackage keys events0..K-1/image (data_loader/dataset.py:331-415).
+forward_sequence runs the L datapackages of a TBPTT window under lax.scan.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ModelConfig
+from ..core.registry import MODELS
+from . import statenet, unet
+
+
+def event_loop_range(cfg: ModelConfig) -> int:
+    """Number of event sub-steps per datapackage (model/model.py:161-175)."""
+    if not cfg.is_baseline:
+        return cfg.every_x_rgb_frame
+    if cfg.baseline == "ergb0" or (
+            cfg.baseline == "e" and cfg.loss_composition == "image"):
+        return cfg.every_x_rgb_frame - 1
+    return 0  # 'rgb', 'ergb', plain 'e': no separate event steps
+
+
+def prediction_keys(cfg: ModelConfig) -> Tuple[str, ...]:
+    return tuple(f"events{k}" for k in range(event_loop_range(cfg))) + ("image",)
+
+
+@MODELS.register("ERGB2DepthRecurrent")
+class ERGB2DepthRecurrent:
+    """The RAM-Net model (model/model.py:114-219)."""
+
+    @staticmethod
+    def init_params(key, cfg: ModelConfig, dtype=jnp.float32):
+        return statenet.init_params(key, cfg, dtype)
+
+    @staticmethod
+    def init_state(cfg: ModelConfig, batch: int, height: int, width: int,
+                   dtype=jnp.float32):
+        return statenet.init_state(cfg, batch, height, width, dtype)
+
+    @staticmethod
+    def forward_package(params, cfg: ModelConfig, state, pkg,
+                        decode_keys: Optional[Sequence[str]] = None):
+        """One datapackage: K event steps then the image step, decoding after
+        every modality update (dense supervision, model.py:176-217).
+
+        decode_keys: restrict decoder invocations (e.g. to the supervised
+        keys during training — gradients are identical since unsupervised
+        decodes don't feed the loss; reference decodes all).
+        """
+        preds: Dict[str, Any] = {}
+        loop = event_loop_range(cfg)
+        # baselines route events through the image encoder (model.py:181-189)
+        event_modality = "image" if cfg.is_baseline else "events"
+        for k in range(loop):
+            x = pkg["events"][:, k]
+            state = statenet.forward_modality(params, cfg, x, state, event_modality)
+            key = f"events{k}"
+            if decode_keys is None or key in decode_keys:
+                preds[key] = statenet.forward_decoder(params, cfg, state)
+        state = statenet.forward_modality(params, cfg, pkg["image"], state, "image")
+        if decode_keys is None or "image" in decode_keys:
+            preds["image"] = statenet.forward_decoder(params, cfg, state)
+        return state, preds
+
+    @staticmethod
+    def forward_sequence(params, cfg: ModelConfig, state, seq,
+                         decode_keys: Optional[Sequence[str]] = None,
+                         remat: bool = False):
+        """seq: {'events': [B, L, K, H, W, Ce], 'image': [B, L, H, W, Ci]}.
+        Scans the per-package step over L (the reference's TBPTT inner loop,
+        trainer/lstm_trainer.py:256-380).  remat=True wraps the step in
+        jax.checkpoint to trade recompute for activation memory (longer L
+        than the reference can fit)."""
+
+        def step(carry, pkg):
+            new_state, preds = ERGB2DepthRecurrent.forward_package(
+                params, cfg, carry, pkg, decode_keys)
+            return new_state, preds
+
+        if remat:
+            step = jax.checkpoint(step)
+        # time axis must lead for scan
+        seq_t = {
+            "events": jnp.moveaxis(seq["events"], 1, 0),
+            "image": jnp.moveaxis(seq["image"], 1, 0),
+        }
+        final_state, preds = jax.lax.scan(step, state, seq_t)
+        # [L, B, H, W, 1] per key -> keep time-leading layout for the loss
+        return final_state, preds
+
+
+@MODELS.register("ERGB2Depth")
+class ERGB2Depth:
+    """Non-recurrent UNet baseline (model/model.py:79-111).  The datapackage
+    'image' carries the fused voxel+gray input built by the asynchronous
+    dataset (data_loader/dataset_asynchronous.py:246)."""
+
+    @staticmethod
+    def init_params(key, cfg: ModelConfig, dtype=jnp.float32):
+        return unet.init_params(key, cfg, dtype)
+
+    @staticmethod
+    def init_state(cfg: ModelConfig, batch: int, height: int, width: int,
+                   dtype=jnp.float32):
+        return ()
+
+    @staticmethod
+    def forward_package(params, cfg: ModelConfig, state, pkg,
+                        decode_keys: Optional[Sequence[str]] = None):
+        return state, {"image": unet.forward(params, cfg, pkg["image"])}
+
+    @staticmethod
+    def forward_sequence(params, cfg: ModelConfig, state, seq,
+                         decode_keys: Optional[Sequence[str]] = None,
+                         remat: bool = False):
+        # stateless: fold L into the batch for one big MXU-friendly pass
+        img = seq["image"]
+        b, l = img.shape[0], img.shape[1]
+        flat = img.reshape((b * l,) + img.shape[2:])
+        pred = unet.forward(params, cfg, flat)
+        pred = pred.reshape((b, l) + pred.shape[1:])
+        return state, {"image": jnp.moveaxis(pred, 1, 0)}
+
+
+def get_model(arch: str):
+    return MODELS.get(arch)

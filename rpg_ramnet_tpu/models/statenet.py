@@ -1,0 +1,250 @@
+"""StateNet — the RAM-Net recurrent multi-modal UNet, as pure functions.
+
+Capability reference: RAM_Net/model/statenet.py (StateNetPhasedRecurrent,
+forward_events:204, forward_images:241, forward_decoder:290) and
+RAM_Net/model/model.py (ERGB2DepthRecurrent:114).
+
+TPU-first design: instead of the reference's per-step Python loop threading
+dicts of tensors through module methods, the model is a single pure function
+``modality_step(params, cfg, x, state, modality)`` usable inside ``lax.scan``
+over the asynchronous sensor schedule.  State is an explicit pytree; events
+and images share the per-scale "super state" but have disjoint encoder and
+state-combination parameters (statenet.py:141-198); the decoder is shared.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ModelConfig
+from . import layers as L
+
+
+# ---------------------------------------------------------------------------
+# state pytree
+# ---------------------------------------------------------------------------
+
+
+class ModalityState(NamedTuple):
+    """Per-modality recurrent state (only populated for the variants that
+    carry it; empty tuples otherwise so the pytree structure stays static)."""
+    encoders: Tuple  # per-scale (h, c) if recurrent_block_type == 'convlstm'
+
+
+class StateNetState(NamedTuple):
+    # per-scale shared super state: array [B,H,W,C], or (h, c) for convlstm
+    # state combination (model/model.py:154-157)
+    super_states: Tuple
+    events: ModalityState
+    image: ModalityState
+
+
+def init_state(cfg: ModelConfig, batch: int, height: int, width: int,
+               dtype=jnp.float32) -> StateNetState:
+    """Zero state, sized per reference model/model.py:146-159."""
+    supers = []
+    enc_events, enc_image = [], []
+    for i in range(cfg.num_encoders):
+        h = height // (2 ** (i + 1))
+        w = width // (2 ** (i + 1))
+        c = cfg.base_num_channels * (2 ** (i + 1))
+        z = jnp.zeros((batch, h, w, c), dtype)
+        if (not cfg.is_baseline) and cfg.state_combination == "convlstm":
+            supers.append((z, z))
+        else:
+            supers.append(z)
+        if cfg.recurrent_block_type == "convlstm":
+            enc_events.append((z, z))
+            enc_image.append((z, z))
+    return StateNetState(
+        super_states=tuple(supers),
+        events=ModalityState(encoders=tuple(enc_events)),
+        image=ModalityState(encoders=tuple(enc_image)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_params(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    """Parameter pytree whose keys mirror reference module names
+    (statenet.py:139-202) for mechanical checkpoint conversion."""
+    keys = iter(jax.random.split(key, 256))
+    p: Dict[str, Any] = {}
+    nb = cfg.base_num_channels
+
+    p["head_rgb"] = L.conv_layer_init(next(keys), cfg.num_bins_rgb, nb, 5, cfg.norm, dtype)
+    if not cfg.is_baseline:
+        p["head_events"] = L.conv_layer_init(next(keys), cfg.num_bins_events, nb, 5, cfg.norm, dtype)
+
+    enc_rgb, enc_ev = [], []
+    comb_img, comb_ev = [], []
+    for in_c, out_c in zip(cfg.encoder_input_sizes, cfg.encoder_output_sizes):
+        if cfg.recurrent_block_type == "convlstm":
+            enc_rgb.append(L.recurrent2_conv_layer_init(next(keys), in_c, out_c, 5, "convlstm", cfg.norm, dtype))
+            if not cfg.is_baseline:
+                enc_ev.append(L.recurrent2_conv_layer_init(next(keys), in_c, out_c, 5, "convlstm", cfg.norm, dtype))
+        elif cfg.recurrent_block_type == "conv":
+            enc_rgb.append(L.conv_layer_init(next(keys), in_c, out_c, 5, cfg.norm, dtype))
+            if not cfg.is_baseline:
+                enc_ev.append(L.conv_layer_init(next(keys), in_c, out_c, 5, cfg.norm, dtype))
+        else:
+            raise KeyError(f"unknown recurrent_block_type {cfg.recurrent_block_type}")
+
+        if cfg.state_combination in ("convlstm", "convgru"):
+            comb_img.append(L.recurrent_conv_layer_init(next(keys), out_c, cfg.state_combination, dtype))
+            if not cfg.is_baseline:
+                comb_ev.append(L.recurrent_conv_layer_init(next(keys), out_c, cfg.state_combination, dtype))
+        elif cfg.state_combination == "conv":
+            comb_img.append(L.conv_layer_init(next(keys), out_c * 2, out_c, 5, cfg.norm, dtype))
+            if not cfg.is_baseline:
+                comb_ev.append(L.conv_layer_init(next(keys), out_c * 2, out_c, 5, cfg.norm, dtype))
+        # 'sum': parameter-free
+
+    p["encoders_rgb"] = enc_rgb
+    p["state_combination_images"] = comb_img
+    if not cfg.is_baseline:
+        p["encoders_events"] = enc_ev
+        p["state_combination_events"] = comb_ev
+
+    p["resblocks"] = [
+        L.residual_block_init(next(keys), cfg.max_num_channels, cfg.max_num_channels, cfg.norm, dtype)
+        for _ in range(cfg.num_residual_blocks)
+    ]
+    decoder_input_sizes = list(reversed(cfg.encoder_output_sizes))
+    decs = []
+    for in_c in decoder_input_sizes:
+        dec_in = in_c if cfg.skip_type == "sum" else 2 * in_c
+        if cfg.use_upsample_conv:
+            decs.append(L.upsample_conv_layer_init(next(keys), dec_in, in_c // 2, 5, cfg.norm, dtype))
+        else:
+            decs.append(L.transposed_conv_layer_init(next(keys), dec_in, in_c // 2, 5, cfg.norm, dtype))
+    p["decoders"] = decs
+    pred_in = nb if cfg.skip_type == "sum" else 2 * nb
+    p["pred"] = L.conv_layer_init(next(keys), pred_in, cfg.num_output_channels, 1, cfg.norm, dtype)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _skip(cfg: ModelConfig, x1, x2):
+    if cfg.skip_type == "sum":
+        return x1 + x2
+    if cfg.skip_type == "concat":
+        return jnp.concatenate([x1, x2], axis=-1)
+    return x1  # no_skip
+
+
+def _super_hidden(cfg: ModelConfig, s):
+    """The tensor part of a per-scale super state (hidden for convlstm comb,
+    statenet.py:292-295)."""
+    if (not cfg.is_baseline) and cfg.state_combination == "convlstm":
+        return s[0]
+    return s
+
+
+def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
+                     modality: str):
+    """One encoder sweep of one modality, updating the shared super states.
+
+    modality: 'events' -> head_events/encoders_events/state_combination_events
+              'image'  -> head_rgb/encoders_rgb/state_combination_images
+    Reference: statenet.py forward_events:204-239 / forward_images:241-288.
+    Returns (new_state, None).
+    """
+    is_events = modality == "events"
+    if is_events:
+        head_p, head_in = params["head_events"], cfg.num_bins_events
+        encoders = params["encoders_events"]
+        combs = params.get("state_combination_events", [])
+        enc_states = state.events.encoders
+    else:
+        head_p = params["head_rgb"]
+        encoders = params["encoders_rgb"]
+        combs = params.get("state_combination_images", [])
+        enc_states = state.image.encoders
+
+    x = L.conv_layer_apply(head_p, x, 1, 2, "relu", cfg.norm)
+
+    new_supers: List[Any] = []
+    new_enc_states: List[Any] = []
+    for i in range(cfg.num_encoders):
+        prev_super = state.super_states[i]
+        if cfg.recurrent_block_type == "conv":
+            x = L.conv_layer_apply(encoders[i], x, 2, 2, "relu", cfg.norm)
+        else:  # convlstm encoder
+            x, enc_st = L.recurrent2_conv_layer_apply(
+                encoders[i], x, enc_states[i], 2, 2, "convlstm", cfg.norm)
+            new_enc_states.append(enc_st)
+
+        if cfg.is_baseline and not is_events:
+            # baselines: the recurrent unit output feeds the next encoder
+            # (statenet.py:276-283); super state is that output.
+            if cfg.state_combination in ("convlstm", "convgru"):
+                x, _ = L.recurrent_conv_layer_apply(
+                    combs[i], x, prev_super, cfg.state_combination)
+            elif cfg.state_combination == "conv":
+                x = L.conv_layer_apply(
+                    combs[i], jnp.concatenate([x, prev_super], -1), 1, 2, "relu", cfg.norm)
+            elif cfg.state_combination == "sum":
+                x = x + prev_super
+            new_supers.append(x)
+        else:
+            if cfg.state_combination == "convlstm":
+                # hidden+cell both come from the shared previous super state
+                # (statenet.py:222-229: lstm_states arg = prev_super_state[i])
+                _, super_state = L.recurrent_conv_layer_apply(
+                    combs[i], x, prev_super, "convlstm")
+            elif cfg.state_combination == "convgru":
+                super_state, _ = L.recurrent_conv_layer_apply(
+                    combs[i], x, prev_super, "convgru")
+            elif cfg.state_combination == "conv":
+                super_state = L.conv_layer_apply(
+                    combs[i], jnp.concatenate([x, prev_super], -1), 1, 2, "relu", cfg.norm)
+            elif cfg.state_combination == "sum":
+                super_state = x + prev_super
+            else:
+                raise KeyError(cfg.state_combination)
+            new_supers.append(super_state)
+
+    if cfg.recurrent_block_type == "convlstm":
+        if is_events:
+            new_state = state._replace(
+                super_states=tuple(new_supers),
+                events=ModalityState(encoders=tuple(new_enc_states)))
+        else:
+            new_state = state._replace(
+                super_states=tuple(new_supers),
+                image=ModalityState(encoders=tuple(new_enc_states)))
+    else:
+        new_state = state._replace(super_states=tuple(new_supers))
+    return new_state
+
+
+def forward_decoder(params, cfg: ModelConfig, state: StateNetState):
+    """Shared decoder over the current super states (statenet.py:290-315).
+
+    First decoder consumes the deepest super state (no skip); subsequent
+    decoders skip-connect the shallower super states; 1x1 pred conv +
+    activation (sigmoid), NO head skip.
+    """
+    x = _super_hidden(cfg, state.super_states[-1])
+    for rb in params["resblocks"]:
+        x = L.residual_block_apply(rb, x, cfg.norm)
+    n = cfg.num_encoders
+    for i, dec in enumerate(params["decoders"]):
+        if i > 0:
+            x = _skip(cfg, x, _super_hidden(cfg, state.super_states[n - i - 1]))
+        if cfg.use_upsample_conv:
+            x = L.upsample_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
+        else:
+            x = L.transposed_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
+    pred = L.conv_layer_apply(params["pred"], x, 1, 0, None, cfg.norm)
+    return L._activation_fn(cfg.activation)(pred)
