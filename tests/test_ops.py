@@ -1,0 +1,196 @@
+"""Unit tests for the ops layer: voxelizer (all paths vs the reference numpy
+oracle), normalization, log-depth transforms, spatial gradients, pooling."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import scipy.ndimage as ndi
+
+import jax
+import jax.numpy as jnp
+
+from rpg_ramnet_tpu import ops
+from rpg_ramnet_tpu.train import losses
+
+
+def random_events(n=5000, height=40, width=60, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.sort(rng.uniform(0.0, 0.05, n))
+    x = rng.randint(0, width, n).astype(np.float64)
+    y = rng.randint(0, height, n).astype(np.float64)
+    p = rng.randint(0, 2, n).astype(np.float64)  # 0/1; 0 -> -1 in voxelizer
+    return np.stack([t, x, y, p], axis=1)
+
+
+def reference_voxel_oracle(events, num_bins, height, width):
+    """The reference's own numpy voxelizer, imported read-only as the oracle
+    (utils/event_tensor_utils.py:71; needs an np.int shim on modern numpy)."""
+    import sys
+    if "/root/reference/RAM_Net" not in sys.path:
+        sys.path.insert(0, "/root/reference/RAM_Net")
+    if not hasattr(np, "int"):
+        np.int = int  # reference targets numpy<1.24
+    from utils.event_tensor_utils import events_to_voxel_grid as ref_vox
+    return ref_vox(events.copy(), num_bins, width, height)
+
+
+class TestVoxelizer:
+    NB, H, W = 5, 40, 60
+
+    def test_np_matches_reference_oracle(self):
+        ev = random_events(height=self.H, width=self.W)
+        ours = ops.events_to_voxel_grid_np(ev, self.NB, self.H, self.W)
+        ref = reference_voxel_oracle(ev, self.NB, self.H, self.W)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+    def test_scatter_matches_np(self):
+        ev = random_events(height=self.H, width=self.W, seed=1)
+        ours = ops.events_to_voxel_grid_scatter(
+            jnp.asarray(ev, jnp.float32), jnp.int32(ev.shape[0]),
+            num_bins=self.NB, height=self.H, width=self.W)
+        ref = ops.events_to_voxel_grid_np(ev.astype(np.float32), self.NB, self.H, self.W)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-3, rtol=1e-3)
+
+    def test_matmul_matches_scatter(self):
+        ev = random_events(n=3000, height=self.H, width=self.W, seed=2).astype(np.float32)
+        a = ops.events_to_voxel_grid_scatter(
+            jnp.asarray(ev), jnp.int32(ev.shape[0]),
+            num_bins=self.NB, height=self.H, width=self.W)
+        b = ops.events_to_voxel_grid_matmul(
+            jnp.asarray(ev), jnp.int32(ev.shape[0]),
+            num_bins=self.NB, height=self.H, width=self.W)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+    def test_pallas_matches_scatter(self):
+        ev = random_events(n=2500, height=self.H, width=self.W, seed=3).astype(np.float32)
+        a = ops.events_to_voxel_grid_scatter(
+            jnp.asarray(ev), jnp.int32(ev.shape[0]),
+            num_bins=self.NB, height=self.H, width=self.W)
+        b = ops.events_to_voxel_grid_pallas(
+            jnp.asarray(ev), jnp.int32(ev.shape[0]),
+            num_bins=self.NB, height=self.H, width=self.W)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+    def test_padded_events_ignored(self):
+        ev = random_events(n=1000, height=self.H, width=self.W, seed=4).astype(np.float32)
+        padded = np.concatenate([ev, np.zeros((500, 4), np.float32)])
+        a = ops.events_to_voxel_grid_scatter(
+            jnp.asarray(padded), jnp.int32(1000),
+            num_bins=self.NB, height=self.H, width=self.W)
+        ref = ops.events_to_voxel_grid_np(ev, self.NB, self.H, self.W)
+        np.testing.assert_allclose(np.asarray(a), ref, atol=1e-3, rtol=1e-3)
+
+    def test_empty_and_degenerate(self):
+        # all events at one timestamp: deltaT == 0 branch
+        ev = random_events(n=100, height=self.H, width=self.W, seed=5)
+        ev[:, 0] = 0.5
+        ours = ops.events_to_voxel_grid_np(ev, self.NB, self.H, self.W)
+        ref = reference_voxel_oracle(ev, self.NB, self.H, self.W)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_normalize_voxel_grid():
+    rng = np.random.RandomState(0)
+    g = rng.randn(5, 16, 16).astype(np.float32)
+    g[g < 0.3] = 0.0  # sparsity
+    ours = np.asarray(ops.normalize_voxel_grid(jnp.asarray(g)))
+    ref = ops.normalize_voxel_grid_np(g)
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+    # semantics: nonzero values have mean 0, std 1 (event_dataset.py:144-151)
+    nz = ours[ours != 0]
+    assert abs(nz.mean()) < 1e-4 and abs(nz.std() - 1) < 1e-3
+    # all-zero grid unchanged
+    z = np.zeros((2, 4, 4), np.float32)
+    np.testing.assert_array_equal(np.asarray(ops.normalize_voxel_grid(jnp.asarray(z))), z)
+
+
+def test_log_depth_round_trip():
+    rng = np.random.RandomState(1)
+    depth = rng.uniform(0.5, 900.0, (64, 64)).astype(np.float32)
+    clip, reg = 1000.0, 5.70378
+    log_d = ops.depth_to_log_np(depth, clip, reg)
+    rec = ops.log_to_depth_np(log_d, clip, reg)
+    ok = depth > np.exp(-reg) * clip  # below the floor, log transform clips
+    np.testing.assert_allclose(rec[ok], depth[ok], rtol=1e-4)
+    # device path equals host path
+    np.testing.assert_allclose(
+        np.asarray(ops.depth_to_log(jnp.asarray(depth), clip, reg)), log_d, atol=1e-5)
+
+
+def test_avg_pool_matches_torch():
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 17, 19, 3).astype(np.float32)
+    x[0, 3, 4, 1] = np.nan
+    for k in (1, 2, 4):
+        ours = np.asarray(ops.avg_pool(jnp.asarray(x), k))
+        theirs = F.avg_pool2d(torch.from_numpy(np.moveaxis(x, -1, 1).copy()), k, k)
+        np.testing.assert_allclose(ours, np.moveaxis(theirs.numpy(), 1, -1),
+                                   atol=1e-5, equal_nan=True)
+
+
+def test_spatial_gradient_matches_scipy():
+    """Sobel/8 with replicate padding == scipy correlate(mode='nearest')."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 12, 14, 2).astype(np.float32)
+    gx, gy = ops.spatial_gradient(jnp.asarray(x))
+    sob_x = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32) / 8.0
+    for c in range(2):
+        ref_gx = ndi.correlate(x[0, :, :, c], sob_x, mode="nearest")
+        ref_gy = ndi.correlate(x[0, :, :, c], sob_x.T, mode="nearest")
+        np.testing.assert_allclose(np.asarray(gx)[0, :, :, c], ref_gx, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gy)[0, :, :, c], ref_gy, atol=1e-5)
+
+
+class TestLosses:
+    def test_scale_invariant_loss(self):
+        rng = np.random.RandomState(4)
+        a = rng.randn(2, 8, 8, 1).astype(np.float32)
+        b = rng.randn(2, 8, 8, 1).astype(np.float32)
+        b[0, 2, 3, 0] = np.nan
+        d = (a - b).ravel()
+        d = d[~np.isnan(d)]
+        expect = (d ** 2).mean() - d.mean() ** 2
+        got = float(losses.scale_invariant_loss(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+    def test_mse_loss(self):
+        rng = np.random.RandomState(5)
+        a = rng.randn(2, 8, 8, 1).astype(np.float32)
+        b = rng.randn(2, 8, 8, 1).astype(np.float32)
+        b[1, 1, 1, 0] = np.nan
+        ok = ~np.isnan(b)
+        expect = ((a[ok] - b[ok]) ** 2).mean()
+        got = float(losses.mse_loss(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+    def test_multi_scale_grad_loss_reference_math(self):
+        """Direct numpy re-derivation of loss.py:33-63 (kornia semantics:
+        sobel/8, replicate pad), incl. NaN handling and x batch x 2 scale."""
+        rng = np.random.RandomState(6)
+        B, H, W = 2, 32, 32
+        pred = rng.rand(B, H, W, 1).astype(np.float32)
+        targ = rng.rand(B, H, W, 1).astype(np.float32)
+        targ[0, 5, 7, 0] = np.nan
+        sob = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32) / 8.0
+
+        def np_avgpool(img, k):
+            h, w = img.shape
+            img = img[:h // k * k, :w // k * k]
+            return img.reshape(h // k, k, w // k, k).mean(axis=(1, 3))
+
+        total = 0.0
+        diff = (pred - targ)[..., 0]
+        for s in range(4):
+            k = 2 ** s
+            vals = []
+            for b in range(B):
+                d = np_avgpool(diff[b], k)
+                gx = ndi.correlate(d, sob, mode="nearest")
+                gy = ndi.correlate(d, sob.T, mode="nearest")
+                vals.append(np.stack([gx, gy]))
+            g = np.stack(vals)
+            ok = ~np.isnan(g)
+            total += np.abs(g[ok]).sum() / ok.sum() * B * 2
+        expect = total / 4
+        got = float(losses.multi_scale_grad_loss(jnp.asarray(pred), jnp.asarray(targ)))
+        np.testing.assert_allclose(got, expect, rtol=1e-4)
