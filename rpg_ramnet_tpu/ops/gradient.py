@@ -41,11 +41,14 @@ def spatial_gradient(x):
 
 def avg_pool(x, k: int):
     """torch nn.AvgPool2d(k, stride=k) on NHWC (floor mode, no padding).
-    NaNs propagate through the window sum exactly as in torch."""
+    Non-overlapping windows -> reshape+mean (differentiable, MXU-free).
+    NaNs propagate through the window mean exactly as in torch."""
+    if k == 1:
+        return x
     n, h, w, c = x.shape
-    y = lax.reduce_window(x, jnp.array(0, x.dtype), lax.add,
-                          (1, k, k, 1), (1, k, k, 1), "VALID")
-    return y / (k * k)
+    hh, ww = h // k, w // k
+    x = x[:, :hh * k, :ww * k, :]
+    return x.reshape(n, hh, k, ww, k, c).mean(axis=(2, 4))
 
 
 def sobel_magnitude(x, eps: float = 1e-6):

@@ -1,0 +1,9 @@
+from .mesh import (
+    make_mesh, batch_sharding, replicated, shard_batch, replicate,
+    DATA_AXIS, MODEL_AXIS,
+)
+
+__all__ = [
+    "make_mesh", "batch_sharding", "replicated", "shard_batch", "replicate",
+    "DATA_AXIS", "MODEL_AXIS",
+]

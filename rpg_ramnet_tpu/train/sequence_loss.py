@@ -1,0 +1,117 @@
+"""TBPTT sequence loss.
+
+Reference: RAM_Net/trainer/lstm_trainer.py:152-226,228-390 — per-step losses
+for the supervised keys (loss_composition/loss_weights), summed over the L
+datapackages of a window, /L, plus the weighted multi-scale gradient loss and
+optional downsampled MSE loss.
+
+The whole window runs as ONE jitted function: forward_sequence (lax.scan)
+decodes only the supervised keys, and the losses are computed vectorized over
+the stacked [L, B, H, W, 1] predictions.  Gradients are identical to the
+reference's python loop + single backward().
+
+Known reference bug (lstm_trainer.py:253,281): all supervised keys alias one
+loss-accumulator dict, so the reference's effective total is
+num_keys x (sum over keys).  We compute the FIXED per-key accumulation;
+`legacy_loss_scaling=True` multiplies by num_keys to reproduce the
+reference's effective scale (a pure LR rescale).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import Config, ModelConfig
+from ..models.model import get_model, prediction_keys
+from . import losses as L
+
+
+def supervised_keys(cfg: Config) -> Tuple[str, ...]:
+    lc = cfg.trainer.loss_composition
+    all_keys = prediction_keys(cfg.model)
+    if not lc:
+        return all_keys
+    return tuple(k for k in all_keys if k in lc)
+
+
+def _target_for(batch: Dict[str, Any], key: str):
+    """Time-leading target [L, B, H, W, 1] for a prediction key."""
+    if key == "image":
+        return jnp.moveaxis(batch["depth_image"], 1, 0)
+    k = int(key[len("events"):])
+    return jnp.moveaxis(batch["depth_events"][:, :, k], 1, 0)
+
+
+def make_sequence_loss(cfg: Config, remat: bool = False):
+    """Returns loss_fn(params, state0, batch) -> (scalar, aux_dict).
+
+    batch: {'events': [B,L,K,H,W,Ce], 'image': [B,L,H,W,Ci],
+            'depth_events': [B,L,K,H,W,1], 'depth_image': [B,L,H,W,1]}
+    """
+    model = get_model(cfg.arch)
+    mcfg = cfg.model
+    keys = supervised_keys(cfg)
+    lc = cfg.trainer.loss_composition
+    weights = {k: (cfg.trainer.loss_weights[list(lc).index(k)] if lc else 1.0)
+               for k in keys}
+    base_loss = L.get_loss(cfg.loss_type)
+    loss_kwargs = dict(cfg.loss_config)
+    use_grad = cfg.grad_loss_weight is not None
+    use_mse = cfg.mse_loss_weight is not None
+    num_keys = max(len(keys), 1)
+
+    def loss_fn(params, state0, batch):
+        _, preds = model.forward_sequence(params, mcfg, state0,
+                                          {"events": batch["events"],
+                                           "image": batch["image"]},
+                                          decode_keys=keys, remat=remat)
+        l_steps = batch["image"].shape[1]
+        total_si = 0.0
+        total_grad = 0.0
+        total_mse = 0.0
+        per_key: Dict[str, Any] = {}
+        for k in keys:
+            pred = preds[k]                       # [L, B, H, W, 1]
+            target = _target_for(batch, k)
+            w = weights[k]
+
+            si = jnp.sum(jax.vmap(lambda p, t: base_loss(p, t, **loss_kwargs))(pred, target))
+            si = w * si / l_steps
+            total_si = total_si + si
+            per_key[f"L_si_{k}"] = si
+
+            if use_grad:
+                g = jnp.sum(jax.vmap(L.multi_scale_grad_loss)(pred, target))
+                g = cfg.grad_loss_weight * w * g / l_steps
+                total_grad = total_grad + g
+                per_key[f"L_grad_{k}"] = g
+
+            if use_mse:
+                f = cfg.mse_loss_downsampling_factor
+                if f != 1.0:
+                    import math
+                    hh = int(pred.shape[2] * f)
+                    ww = int(pred.shape[3] * f)
+                    pr = jax.image.resize(pred, pred.shape[:2] + (hh, ww, 1), "bilinear")
+                    tr = jax.image.resize(target, target.shape[:2] + (hh, ww, 1), "bilinear")
+                else:
+                    pr, tr = pred, target
+                m = jnp.sum(jax.vmap(L.mse_loss)(pr, tr))
+                m = cfg.mse_loss_weight * w * m / l_steps
+                total_mse = total_mse + m
+                per_key[f"L_mse_{k}"] = m
+
+        loss = total_si + total_grad + total_mse
+        if cfg.trainer.legacy_loss_scaling:
+            loss = loss * num_keys
+        aux = {"loss": loss, "L_si": total_si}
+        if use_grad:
+            aux["L_grad"] = total_grad
+        if use_mse:
+            aux["L_mse"] = total_mse
+        aux.update(per_key)
+        return loss, aux
+
+    return loss_fn

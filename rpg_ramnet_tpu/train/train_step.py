@@ -1,0 +1,77 @@
+"""Jitted train / eval steps, optionally sharded over a device mesh.
+
+The reference's epoch loop does: zero_grad -> python-loop forward over L
+packages -> one backward -> optimizer.step (lstm_trainer.py:445-453).  Here
+the entire window (scan) + grad + optax update is ONE compiled program; under
+a mesh, the batch is sharded on the 'data' axis and params are replicated,
+so XLA derives the psum gradient all-reduce (DP) automatically.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import Config
+from ..models.model import get_model
+from .sequence_loss import make_sequence_loss
+from .optim import make_optimizer
+
+
+def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None, remat: bool = False,
+                    donate: bool = True):
+    """Returns train_step(params, opt_state, batch) -> (params, opt_state, aux).
+
+    The zero initial recurrent state per TBPTT window matches the reference
+    (model.py:146-159: states re-zeroed per sequence)."""
+    loss_fn = make_sequence_loss(cfg, remat=remat)
+    model = get_model(cfg.arch)
+    mcfg = cfg.model
+
+    def step(params, opt_state, batch):
+        b, _, h, w = (batch["image"].shape[0], batch["image"].shape[1],
+                      batch["image"].shape[2], batch["image"].shape[3])
+        state0 = model.init_state(mcfg, b, h, w)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(params, state0, batch)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return new_params, new_opt_state, aux
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, data),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
+def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None):
+    """Validation loss over a window (no grads)."""
+    loss_fn = make_sequence_loss(cfg)
+    model = get_model(cfg.arch)
+    mcfg = cfg.model
+
+    def step(params, batch):
+        b, h, w = (batch["image"].shape[0], batch["image"].shape[2],
+                   batch["image"].shape[3])
+        state0 = model.init_state(mcfg, b, h, w)
+        _, aux = loss_fn(params, state0, batch)
+        return aux
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(repl, data), out_shardings=repl)

@@ -1,0 +1,164 @@
+"""Training-stack tests: loss gradient flow, optimizer parity with the
+reference recipe, DP sharding == single-device equivalence on the virtual
+8-device CPU mesh (SURVEY.md §4 rebuild test strategy)."""
+import json
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rpg_ramnet_tpu.core.config import Config
+from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss, supervised_keys
+from rpg_ramnet_tpu.train.optim import make_optimizer, lr_at_epoch, set_learning_rate
+from rpg_ramnet_tpu.train.train_step import make_train_step, make_eval_step
+from rpg_ramnet_tpu.parallel import make_mesh, shard_batch, replicate
+
+
+def tiny_config(**model_over):
+    model = dict(num_bins_rgb=1, num_bins_events=5, skip_type="sum",
+                 recurrent_block_type="conv", state_combination="convgru",
+                 num_encoders=2, base_num_channels=4, num_residual_blocks=1,
+                 use_upsample_conv=True, norm="none")
+    model.update(model_over)
+    cfg = {
+        "name": "tiny", "arch": "ERGB2DepthRecurrent",
+        "use_phased_arch": False,
+        "data_loader": {
+            "train": {"every_x_rgb_frame": 3, "baseline": False,
+                      "clip_distance": 80.0, "reg_factor": 3.70378},
+            "batch_size": 2,
+        },
+        "optimizer_type": "Adam", "optimizer": {"lr": 3e-4, "weight_decay": 0},
+        "lr_scheduler_type": "ExponentialLR", "lr_scheduler_freq": 100,
+        "lr_scheduler": {"gamma": 0.5},
+        "loss": {"type": "scale_invariant_loss",
+                 "config": {"weight": 1.0, "n_lambda": 1.0}},
+        "grad_loss": {"weight": 0.25},
+        "trainer": {"epochs": 2, "sequence_length": 2,
+                    "loss_composition": ["image", "events2"],
+                    "loss_weights": [1, 1]},
+        "model": model,
+    }
+    return Config.from_dict(cfg)
+
+
+def make_batch(cfg, B=2, L=2, H=16, W=16, seed=0):
+    rng = np.random.RandomState(seed)
+    K = cfg.model.every_x_rgb_frame
+    return {
+        "events": jnp.asarray(rng.randn(B, L, K, H, W, 5).astype(np.float32)),
+        "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+        "depth_events": jnp.asarray(rng.rand(B, L, K, H, W, 1).astype(np.float32)),
+        "depth_image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+    }
+
+
+def test_supervised_keys():
+    cfg = tiny_config()
+    assert supervised_keys(cfg) == ("events2", "image")
+
+
+def test_loss_finite_and_grads_flow():
+    cfg = tiny_config()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg.model)
+    batch = make_batch(cfg)
+    state0 = ERGB2DepthRecurrent.init_state(cfg.model, 2, 16, 16)
+    loss_fn = make_sequence_loss(cfg)
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state0, batch)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # every parameter should receive gradient (shared decoder + both encoders)
+    nonzero = [float(jnp.abs(g).sum()) > 0 for g in leaves]
+    assert np.mean(nonzero) > 0.95, f"{np.mean(nonzero)} of leaves have grad"
+
+
+def test_nan_targets_do_not_poison_grads():
+    cfg = tiny_config()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg.model)
+    batch = make_batch(cfg)
+    di = np.asarray(batch["depth_image"]).copy()
+    di[:, :, 2:5, 3:7] = np.nan
+    batch["depth_image"] = jnp.asarray(di)
+    state0 = ERGB2DepthRecurrent.init_state(cfg.model, 2, 16, 16)
+    loss_fn = make_sequence_loss(cfg)
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state0, batch)
+    assert np.isfinite(float(loss))
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_train_step_reduces_loss():
+    cfg = tiny_config()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(1), cfg.model)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt, donate=False)
+    batch = make_batch(cfg, seed=5)
+    first = None
+    for i in range(12):
+        params, opt_state, aux = step(params, opt_state, batch)
+        if first is None:
+            first = float(aux["loss"])
+    last = float(aux["loss"])
+    assert last < first, (first, last)
+
+
+def test_legacy_loss_scaling_factor():
+    cfg = tiny_config()
+    cfg_legacy = Config.from_dict({**cfg.raw, "trainer": {**cfg.raw["trainer"],
+                                                          "legacy_loss_scaling": True}})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg.model)
+    batch = make_batch(cfg)
+    state0 = ERGB2DepthRecurrent.init_state(cfg.model, 2, 16, 16)
+    l_fixed, _ = make_sequence_loss(cfg)(params, state0, batch)
+    l_legacy, _ = make_sequence_loss(cfg_legacy)(params, state0, batch)
+    np.testing.assert_allclose(float(l_legacy), 2 * float(l_fixed), rtol=1e-6)
+
+
+def test_lr_schedule_matches_reference_semantics():
+    cfg = tiny_config()
+    lr0 = 3e-4
+    assert lr_at_epoch(cfg, 0) == lr0
+    assert lr_at_epoch(cfg, 99) == lr0
+    np.testing.assert_allclose(lr_at_epoch(cfg, 100), lr0 * 0.5)
+    np.testing.assert_allclose(lr_at_epoch(cfg, 200), lr0 * 0.25)
+
+
+def test_dp_mesh_equals_single_device():
+    """The same program on an 8-device 'data' mesh must produce the same
+    params as single-device execution (the JAX-native distributed test)."""
+    cfg = tiny_config()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(2), cfg.model)
+    opt = make_optimizer(cfg)
+    batch = make_batch(cfg, B=8, seed=9)
+
+    p1 = params
+    s1 = opt.init(p1)
+    step1 = make_train_step(cfg, opt, donate=False)
+    for _ in range(2):
+        p1, s1, aux1 = step1(p1, s1, batch)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    p2 = replicate(params, mesh)
+    s2 = opt.init(p2)
+    step8 = make_train_step(cfg, opt, mesh=mesh, donate=False)
+    sb = shard_batch(batch, mesh)
+    for _ in range(2):
+        p2, s2, aux2 = step8(p2, s2, sb)
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5, rtol=1e-4),
+        p1, p2)
+
+
+def test_eval_step():
+    cfg = tiny_config()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(3), cfg.model)
+    ev = make_eval_step(cfg)
+    aux = ev(params, make_batch(cfg))
+    assert np.isfinite(float(aux["loss"]))
