@@ -1,0 +1,157 @@
+"""Offline depth evaluation from saved npy prediction/target pairs.
+
+Math parity reference: RAM_Net/evaluation.py — log->metric conversion
+(prepare_depth_data:74), masked metric suite at depth cutoffs
+10/20/30/80/250/500 m (add_to_metrics:201, depth_values:39), threshold-delta
+metrics, median rescaling (rescale_by_the_median:99) and event-mask variants.
+This module is the parity oracle for BASELINE abs-rel/SiLog targets, so the
+formulas (including eps placement) follow the reference exactly.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .metrics import (abs_rel_diff, squ_rel_diff, rms_linear,
+                      scale_invariant_error, mean_error, median_error, mse,
+                      eval_metrics)
+
+DEPTH_VALUES = [10, 20, 30, 80, 250, 500]
+
+_BASE_KEYWORDS = ["abs_rel_diff", "squ_rel_diff", "RMS_linear", "RMS_log",
+                  "SILog", "mean_depth_error", "median_diff",
+                  "threshold_delta_1.25", "threshold_delta_1.25^2",
+                  "threshold_delta_1.25^3"]
+
+
+def metrics_keywords(prefix: str = "_") -> List[str]:
+    out = [f"{prefix}{k}" for k in _BASE_KEYWORDS]
+    for d in DEPTH_VALUES:
+        out += [f"{prefix}{d}_{k}" for k in _BASE_KEYWORDS]
+    return out
+
+
+def prepare_depth_data(target: np.ndarray, prediction: np.ndarray,
+                       clip_distance: float, down_scale_factor: float = 1.0,
+                       reg_factor: float = 0.0):
+    """Log-depth -> metric depth; prediction clipped to the representable
+    range (evaluation.py:74-96)."""
+    prediction = np.exp(reg_factor * (prediction - 1.0)) * clip_distance
+    target = np.exp(reg_factor * (target - 1.0)) * clip_distance
+    prediction = np.clip(prediction, np.exp(-reg_factor) * clip_distance, clip_distance)
+    if down_scale_factor < 1.0:
+        import cv2
+        h, w = target.shape
+        target = cv2.resize(target, (int(w * down_scale_factor), int(h * down_scale_factor)),
+                            interpolation=cv2.INTER_LINEAR)
+    return target, prediction
+
+
+def rescale_by_the_median(target: np.ndarray, prediction: np.ndarray):
+    """Median/std alignment for scale-free comparison (evaluation.py:99-154)."""
+    target = (target - np.median(target)) / np.std(target)
+    target = target + abs(np.min(target))
+    prediction = (prediction - np.median(prediction)) / np.std(prediction)
+    prediction = prediction + abs(np.min(prediction))
+    diff = np.abs(np.median(target) - np.median(prediction))
+    if np.median(target) < np.median(prediction):
+        target = target + diff
+    else:
+        prediction = prediction + diff
+    return target, prediction
+
+
+def add_to_metrics(metrics: Dict[str, float], target_: np.ndarray,
+                   prediction_: np.ndarray, mask: np.ndarray,
+                   prefix: str = "_", rescale: bool = False) -> Dict[str, float]:
+    """Accumulate one frame's masked metrics (evaluation.py:201-244)."""
+    if len(metrics) == 0:
+        metrics.update({k: 0.0 for k in metrics_keywords(prefix="_")})
+        for d in []:
+            pass
+    eps = 1e-5
+    target = target_[mask]
+    prediction = prediction_[mask]
+    if rescale:
+        target, prediction = rescale_by_the_median(target, prediction)
+
+    ratio = np.max(np.stack([target / (prediction + eps),
+                             prediction / (target + eps)]), axis=0)
+    log_diff = np.log(target + eps) - np.log(prediction + eps)
+
+    new_metrics = {
+        f"{prefix}threshold_delta_1.25": np.mean(ratio <= 1.25),
+        f"{prefix}threshold_delta_1.25^2": np.mean(ratio <= 1.25 ** 2),
+        f"{prefix}threshold_delta_1.25^3": np.mean(ratio <= 1.25 ** 3),
+        f"{prefix}abs_rel_diff": abs_rel_diff(prediction, target),
+        f"{prefix}squ_rel_diff": squ_rel_diff(prediction, target),
+        f"{prefix}RMS_linear": rms_linear(prediction, target),
+        f"{prefix}RMS_log": np.sqrt((log_diff ** 2).mean()),
+        f"{prefix}SILog": scale_invariant_error(np.log(prediction + eps),
+                                                np.log(target + eps)),
+        f"{prefix}mean_depth_error": mean_error(prediction, target),
+        f"{prefix}median_diff": np.abs(np.median(target) - np.median(prediction)),
+    }
+    for k, v in new_metrics.items():
+        metrics[k] = metrics.get(k, 0.0) + float(v)
+    return metrics
+
+
+def evaluate_directories(target_dataset: str, predictions_dataset: str,
+                         clip_distance: float = 80.0, reg_factor: float = 0.0,
+                         crop_ymax: int = 260, event_masks: str = "",
+                         prediction_offset: int = 0, target_offset: int = 0,
+                         down_scale_factor: float = 1.0, rescale: bool = False,
+                         ) -> Dict[str, float]:
+    """The evaluation.py __main__ loop (evaluation.py:295-397) as a library
+    function.  Returns averaged metrics."""
+    import glob
+    from os.path import join
+
+    prediction_files = sorted(glob.glob(join(predictions_dataset, "*.npy")))[prediction_offset:]
+    target_files = sorted(glob.glob(join(target_dataset, "*.npy")))[target_offset:]
+    assert len(prediction_files) > 0 and len(target_files) > 0
+
+    use_event_masks = bool(event_masks)
+    if use_event_masks:
+        event_frame_files = sorted(glob.glob(join(event_masks, "*png")))[prediction_offset:]
+        use_event_masks = len(event_frame_files) > 0
+
+    metrics: Dict[str, float] = {}
+    metrics2 = []
+    num_it = len(prediction_files)
+    for idx in range(num_it):
+        target_depth = np.load(target_files[idx])[:crop_ymax]
+        predicted_depth = np.load(prediction_files[idx])[:crop_ymax]
+        target_depth, predicted_depth = prepare_depth_data(
+            target_depth[0], predicted_depth[0], clip_distance,
+            down_scale_factor, reg_factor)
+        assert predicted_depth.shape == target_depth.shape
+
+        depth_mask = np.ones_like(target_depth) > 0
+        metrics = add_to_metrics(metrics, target_depth, predicted_depth,
+                                 depth_mask, prefix="_", rescale=rescale)
+        metrics2.append(eval_metrics(predicted_depth[None, None],
+                                     target_depth[None, None]))
+        for d in DEPTH_VALUES:
+            m = np.nan_to_num(target_depth) < d
+            add_to_metrics(metrics, target_depth, predicted_depth,
+                           depth_mask & m, prefix=f"_{d}_")
+
+        if use_event_masks:
+            import cv2
+            ev = cv2.imread(event_frame_files[idx])[:crop_ymax]
+            if down_scale_factor < 1.0:
+                w = int(ev.shape[1] * down_scale_factor)
+                h = int(ev.shape[0] * down_scale_factor)
+                ev = cv2.resize(ev, (w, h), interpolation=cv2.INTER_LINEAR)
+            event_mask = ev.astype(np.float32).sum(axis=-1) > 0
+            add_to_metrics(metrics, target_depth, predicted_depth, event_mask,
+                           prefix="event_masked_", rescale=rescale)
+            for d in DEPTH_VALUES:
+                m = np.nan_to_num(target_depth) < d
+                add_to_metrics(metrics, target_depth, predicted_depth,
+                               event_mask & m, prefix=f"event_masked_{d}_")
+
+    return {k: v / num_it for k, v in metrics.items()}

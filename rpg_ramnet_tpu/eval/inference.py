@@ -1,0 +1,129 @@
+"""Streaming inference engine.
+
+Capability reference: RAM_Net/test.py:207-384 — strictly sequential batch-1
+streaming with recurrent state carried across packages and reset at sequence
+boundaries (dataset_idx changes).
+
+TPU-first: the per-package forward is one jitted function reused across the
+stream; throughput scaling comes from batching independent sequences into
+LANES with per-lane reset masks (state carry is per-sequence, so lanes don't
+interact) — see `BatchedStreamingInference`.  `CropParameters` reproduces the
+reflection-pad-to-multiple-of-2^num_encoders trick of
+utils/inference_utils.py:278-316 (static shapes matter even more on TPU).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ModelConfig
+from ..models.model import get_model
+
+
+def optimal_crop_size(max_size: int, max_subsample_factor: int) -> int:
+    """Smallest multiple of 2^num_encoders >= max_size
+    (inference_utils.py:278-284)."""
+    f = 2 ** max_subsample_factor
+    return ((max_size + f - 1) // f) * f
+
+
+@dataclasses.dataclass
+class CropParameters:
+    """Reflection-pad input to a 2^num_encoders multiple, then crop
+    predictions back (inference_utils.py:287-316)."""
+    width: int
+    height: int
+    num_encoders: int
+
+    def __post_init__(self):
+        self.width_crop = optimal_crop_size(self.width, self.num_encoders)
+        self.height_crop = optimal_crop_size(self.height, self.num_encoders)
+        self.padding_left = (self.width_crop - self.width) // 2
+        self.padding_right = self.width_crop - self.width - self.padding_left
+        self.padding_top = (self.height_crop - self.height) // 2
+        self.padding_bottom = self.height_crop - self.height - self.padding_top
+
+    def pad(self, x):
+        """x: [..., H, W, C] -> reflection-padded to crop size."""
+        pads = [(0, 0)] * (x.ndim - 3) + [
+            (self.padding_top, self.padding_bottom),
+            (self.padding_left, self.padding_right), (0, 0)]
+        if isinstance(x, np.ndarray):
+            return np.pad(x, pads, mode="reflect")
+        return jnp.pad(x, pads, mode="reflect")
+
+    def crop(self, x):
+        h0, w0 = self.padding_top, self.padding_left
+        return x[..., h0:h0 + self.height, w0:w0 + self.width, :]
+
+
+class StreamingInference:
+    """Single-lane streaming (exact reference behavior)."""
+
+    def __init__(self, params, cfg: ModelConfig, arch: str = "ERGB2DepthRecurrent"):
+        self.params = params
+        self.cfg = cfg
+        self.model = get_model(arch)
+        self._fwd = jax.jit(
+            lambda p, s, pkg: self.model.forward_package(p, cfg, s, pkg))
+        self._state = None
+
+    def reset(self, batch: int, height: int, width: int):
+        self._state = self.model.init_state(self.cfg, batch, height, width)
+
+    def step(self, pkg: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """pkg: {'events': [K,H,W,C], 'image': [H,W,C]} (unbatched) ->
+        {key: [H,W,1]} predictions."""
+        batched = {"events": jnp.asarray(pkg["events"])[None],
+                   "image": jnp.asarray(pkg["image"])[None]}
+        h, w = pkg["image"].shape[0], pkg["image"].shape[1]
+        if self._state is None:
+            self.reset(1, h, w)
+        self._state, preds = self._fwd(self.params, self._state, batched)
+        return {k: np.asarray(v[0]) for k, v in preds.items()}
+
+
+class BatchedStreamingInference:
+    """Multi-lane streaming: N independent sequences advance in lockstep;
+    a per-lane reset mask zeroes the recurrent state at each lane's sequence
+    boundary.  Identical per-sequence outputs to single-lane at N x the
+    throughput (BASELINE config 5)."""
+
+    def __init__(self, params, cfg: ModelConfig, n_lanes: int,
+                 height: int, width: int, arch: str = "ERGB2DepthRecurrent"):
+        self.params = params
+        self.cfg = cfg
+        self.n_lanes = n_lanes
+        self.model = get_model(arch)
+        self.state = self.model.init_state(cfg, n_lanes, height, width)
+
+        def fwd(params, state, pkg, reset_mask):
+            # reset_mask: [N] bool; zero the state of resetting lanes
+            def mask_leaf(leaf):
+                m = reset_mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
+                return jnp.where(m, jnp.zeros_like(leaf), leaf)
+            state = jax.tree_util.tree_map(mask_leaf, state)
+            return self.model.forward_package(params, cfg, state, pkg)
+
+        self._fwd = jax.jit(fwd)
+
+    def step(self, pkg: Dict[str, Any], reset_mask: np.ndarray):
+        """pkg: {'events': [N,K,H,W,C], 'image': [N,H,W,C]};
+        reset_mask: [N] bool."""
+        self.state, preds = self._fwd(self.params, self.state,
+                                      {"events": jnp.asarray(pkg["events"]),
+                                       "image": jnp.asarray(pkg["image"])},
+                                      jnp.asarray(reset_mask))
+        return preds
+
+
+def optimal_scale(prediction: np.ndarray, target: np.ndarray,
+                  reg_factor: float, clip_distance: float) -> float:
+    """Metric-space optimal scale accumulation (test.py:365-378)."""
+    pred = np.exp(reg_factor * (prediction - 1.0)) * clip_distance
+    targ = np.exp(reg_factor * (target - 1.0)) * clip_distance
+    return float(np.sum(pred * targ) / np.sum(pred * pred))

@@ -1,0 +1,176 @@
+"""Epoch-loop trainer.
+
+Capability reference: RAM_Net/base/base_trainer.py (epoch loop, monitor-best
+checkpointing, save_freq, resume, TB + JSON logging) and
+RAM_Net/trainer/lstm_trainer.py (TBPTT epoch, loss bookkeeping, previews).
+
+TPU-first: the per-window compute is one jitted program (train_step); data
+arrives through the threaded BatchLoader + double-buffered device_put; the
+host only steps the LR schedule, logs, and checkpoints.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from os.path import join
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+
+from ..core.config import Config
+from ..models.model import get_model
+from ..parallel import make_mesh, shard_batch, replicate, batch_sharding
+from .optim import make_optimizer, lr_at_epoch, set_learning_rate
+from .train_step import make_train_step, make_eval_step
+from .checkpoint import CheckpointManager, export_pth_tar
+from ..data.loader import BatchLoader, device_prefetch
+
+
+class JsonlLogger:
+    """Training log as JSONL (replaces the pickled Logger object of
+    logger/logger.py)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.entries: Dict[str, Any] = {}
+
+    def add_entry(self, entry: Dict[str, Any]):
+        self.entries[len(self.entries)] = entry
+        with open(self.path, "a") as f:
+            f.write(json.dumps(entry, default=float) + "\n")
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_loader: BatchLoader,
+                 valid_loader: Optional[BatchLoader] = None,
+                 resume: Optional[str] = None,
+                 initial_params=None, use_mesh: bool = True,
+                 run_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.logger = logging.getLogger("Trainer")
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+
+        self.run_dir = run_dir or join(cfg.trainer.save_dir, cfg.name)
+        os.makedirs(self.run_dir, exist_ok=True)
+        with open(join(self.run_dir, "config.json"), "w") as f:
+            json.dump(cfg.raw, f, indent=2)
+        self.jsonl = JsonlLogger(join(self.run_dir, "train_log.jsonl"))
+        self.tb = self._make_tb(join(self.run_dir, "tensorboard"))
+        self.ckpt = CheckpointManager(self.run_dir)
+
+        self.mesh = make_mesh(cfg.mesh) if (use_mesh and len(jax.devices()) > 1) else None
+        self.model = get_model(cfg.arch)
+
+        key = jax.random.PRNGKey(0)
+        params = initial_params if initial_params is not None else \
+            self.model.init_params(key, cfg.model)
+        self.optimizer = make_optimizer(cfg)
+        opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            params = replicate(params, self.mesh)
+            opt_state = replicate(opt_state, self.mesh)
+        self.params, self.opt_state = params, opt_state
+
+        self.train_step = make_train_step(cfg, self.optimizer, self.mesh)
+        self.eval_step = make_eval_step(cfg, self.mesh)
+
+        self.start_epoch = 0
+        self.monitor = cfg.trainer.monitor
+        self.monitor_mode = cfg.trainer.monitor_mode
+        self.monitor_best = float("inf") if self.monitor_mode == "min" else -float("inf")
+        if resume:
+            self._resume(resume)
+
+    @staticmethod
+    def _make_tb(path: str):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            return SummaryWriter(path)
+        except Exception:
+            return None
+
+    def _resume(self, path: str):
+        params, opt_state, meta = self.ckpt.restore(path, self.params, self.opt_state)
+        self.params, self.opt_state = params, opt_state
+        if self.mesh is not None:
+            self.params = replicate(self.params, self.mesh)
+            self.opt_state = replicate(self.opt_state, self.mesh)
+        self.start_epoch = int(meta["epoch"]) + 1
+        if meta.get("monitor_best") is not None:
+            self.monitor_best = float(meta["monitor_best"])
+        self.logger.info("Resumed from %s at epoch %d", path, self.start_epoch)
+
+    # ------------------------------------------------------------------
+
+    def _run_epoch(self, loader: BatchLoader, train: bool, epoch: int) -> Dict[str, float]:
+        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        sums: Dict[str, float] = {}
+        count = 0
+        t0 = time.time()
+        for i, batch in enumerate(device_prefetch(iter(loader), sharding=sharding)):
+            if train:
+                self.params, self.opt_state, aux = self.train_step(
+                    self.params, self.opt_state, batch)
+            else:
+                aux = self.eval_step(self.params, batch)
+            for k, v in aux.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+            if train and self.cfg.trainer.verbosity >= 2 and \
+                    i % self.cfg.trainer.log_every == 0:
+                self.logger.info("epoch %d [%d/%d] loss=%.4f", epoch, i,
+                                 len(loader), float(aux["loss"]))
+        wall = time.time() - t0
+        out = {k: v / max(count, 1) for k, v in sums.items()}
+        out["sec_per_epoch"] = wall
+        return out
+
+    def train(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        final_log: Dict[str, Any] = {}
+        for epoch in range(self.start_epoch, cfg.trainer.epochs):
+            lr = lr_at_epoch(cfg, epoch)
+            self.opt_state = set_learning_rate(self.opt_state, lr)
+
+            train_log = self._run_epoch(self.train_loader, True, epoch)
+            log = {"epoch": epoch, "lr": lr,
+                   **{f"train_{k}": v for k, v in train_log.items()}}
+            if self.valid_loader is not None:
+                val_log = self._run_epoch(self.valid_loader, False, epoch)
+                log.update({f"val_{k}": v for k, v in val_log.items()})
+
+            self.jsonl.add_entry(log)
+            if self.tb is not None:
+                for k, v in log.items():
+                    if isinstance(v, (int, float)):
+                        self.tb.add_scalar(k, v, epoch)
+
+            monitored = log.get(self.monitor.replace("val_loss", "val_loss"), None)
+            if monitored is None:
+                monitored = log.get("val_loss", log.get("train_loss"))
+            improved = (monitored < self.monitor_best) if self.monitor_mode == "min" \
+                else (monitored > self.monitor_best)
+
+            if improved or (epoch % cfg.trainer.save_freq == 0):
+                name = f"checkpoint-epoch{epoch}"
+                self.ckpt.save(name, self.params, self.opt_state, epoch=epoch,
+                               monitor_best=self.monitor_best, config=cfg.raw,
+                               logger=self.jsonl.entries)
+                if improved:
+                    self.monitor_best = monitored
+                    self.ckpt.save_best(name)
+                    self.logger.info("epoch %d: new best %s=%.5f", epoch,
+                                     self.monitor, monitored)
+            final_log = log
+        if self.tb is not None:
+            self.tb.flush()
+        return final_log
+
+    def export_reference_checkpoint(self, path: str, epoch: int = 0):
+        """Write a .pth.tar the reference implementation can load."""
+        export_pth_tar(path, jax.device_get(self.params), self.cfg.arch,
+                       self.cfg.raw, epoch, self.monitor_best)

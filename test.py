@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Streaming inference CLI — reference-compatible surface and output tree.
+
+Flags mirror RAM_Net/test.py:397-424 (--path_to_model, --config,
+--output_path, --data_folder); the output directory layout
+(depth/npy/color_map/ground_truth/semantic_seg/video, test.py:66-90) is
+preserved so evaluation.py consumes it unchanged.  Behavior parity:
+CenterCrop([256, 512]) (test.py:148), recurrent state reset at sequence
+boundaries (test.py:215-223), predictions saved only for sequence_idx > 1
+(test.py:259), running metric vector and metric-space optimal scale
+(test.py:365-378).
+"""
+import argparse
+import json
+import logging
+import os
+from os.path import join
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="RAM-Net TPU streaming inference")
+    parser.add_argument("--path_to_model", type=str, default="")
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--output_path", type=str, default="")
+    parser.add_argument("--data_folder", type=str, default="")
+    parser.add_argument("--crop", type=str, default="256,512",
+                        help="center-crop H,W (reference: 256,512)")
+    args = parser.parse_args()
+
+    if args.config is None:
+        head = os.path.split(args.path_to_model)[0]
+        with open(join(head, "config.json")) as f:
+            config_dict = json.load(f)
+    else:
+        with open(args.config) as f:
+            config_dict = json.load(f)
+
+    from rpg_ramnet_tpu.utils import ensure_platform
+    ensure_platform()
+    from rpg_ramnet_tpu.core.config import Config
+    from rpg_ramnet_tpu.data import CenterCrop, concatenate_subfolders
+    from rpg_ramnet_tpu.eval.inference import StreamingInference, optimal_scale
+    from rpg_ramnet_tpu.eval.writers import DepthOutputWriter
+    from rpg_ramnet_tpu.eval.metrics import eval_metrics
+    from rpg_ramnet_tpu.train.checkpoint import load_any
+    from rpg_ramnet_tpu.models.model import prediction_keys
+
+    cfg = Config.from_dict(config_dict)
+    root = os.environ["PREPROCESSED_DATASETS_FOLDER"]
+    data_folder = args.data_folder or "dataset_mathias_23_07/test/"
+    crop_hw = [int(v) for v in args.crop.split(",")]
+
+    vd = cfg.val_data
+    recurrency = cfg.arch != "ERGB2Depth"
+    dataset = concatenate_subfolders(
+        join(root, data_folder), vd.type, vd.event_folder, vd.depth_folder,
+        vd.frame_folder, sequence_length=1, transform=CenterCrop(crop_hw),
+        proba_pause_when_running=vd.proba_pause_when_running,
+        proba_pause_when_paused=vd.proba_pause_when_paused,
+        step_size=1, clip_distance=vd.clip_distance,
+        every_x_rgb_frame=vd.every_x_rgb_frame, normalize=cfg.normalize,
+        scale_factor=vd.scale_factor, use_phased_arch=cfg.use_phased_arch,
+        baseline=vd.baseline, loss_composition=cfg.trainer.loss_composition,
+        reg_factor=vd.reg_factor, recurrency=recurrency,
+        load_semantic=bool(args.output_path))
+
+    params, _ = load_any(args.path_to_model)
+    print(f"Loading model weights from: {args.path_to_model}")
+
+    engine = StreamingInference(params, cfg.model, cfg.arch)
+    writer = DepthOutputWriter(args.output_path) if args.output_path else None
+    reg_factor = cfg.train_data.reg_factor
+    clip_distance = vd.clip_distance
+    n = len(dataset)
+    scales, total_metrics = np.empty(n), []
+
+    if writer is not None and n > 0:
+        # reference hardcodes sample index 20 (test.py:197); clamp for short sets
+        sample, _ = dataset[min(20, n - 1)]
+        # seq arrays are [L=1, ...]; color map from GT depth (test.py:195-205)
+        writer.set_color_mapper(np.moveaxis(sample["depth_image"][0], -1, 0))
+
+    prev_dataset_idx = -1
+    sequence_idx = 0
+    video_keys = None
+    for idx in range(n):
+        item, dataset_idx = dataset[idx]
+        pkg = {"events": item["events"][0], "image": item["image"][0]}
+        if dataset_idx > prev_dataset_idx:
+            h, w = pkg["image"].shape[0], pkg["image"].shape[1]
+            engine.reset(1, h, w)
+            sequence_idx = 0
+        preds = engine.step(pkg)
+
+        if writer is not None and sequence_idx > 1:
+            for key, img in preds.items():
+                gt = (item["depth_image"][0] if key == "image"
+                      else item["depth_events"][0, int(key[len("events"):])])
+                img_chw = np.moveaxis(img, -1, 0)
+                gt_chw = np.moveaxis(gt, -1, 0)
+                total_metrics.append(eval_metrics(img_chw[None], gt_chw[None]))
+                writer.write_prediction(idx, key, img_chw)
+                writer.write_ground_truth(idx, "depth_" + key, gt_chw)
+            if "semantic_image" in item:
+                writer.write_semantic(idx, "semantic_image",
+                                      np.moveaxis(item["semantic_image"][0], -1, 0))
+            if video_keys is None:
+                video_keys = list(preds.keys())
+            for key in video_keys:
+                inp = (item["image"][0] if key == "image"
+                       else item["events"][0, int(key[len("events"):])])
+                gt = (item["depth_image"][0] if key == "image"
+                      else item["depth_events"][0, int(key[len("events"):])])
+                writer.write_video_frame(np.moveaxis(preds[key], -1, 0),
+                                         np.moveaxis(gt, -1, 0), inp,
+                                         is_event_key="event" in key)
+            if idx % 100 == 0:
+                print("saved image ", idx)
+
+        # metric-space scale (test.py:365-378; last key wins, as in reference)
+        for key, img in preds.items():
+            gt = (item["depth_image"][0] if key == "image"
+                  else item["depth_events"][0, int(key[len("events"):])])
+            scales[idx] = optimal_scale(img[..., 0], gt[..., 0],
+                                        reg_factor, clip_distance)
+
+        sequence_idx += 1
+        prev_dataset_idx = dataset_idx
+
+    print("total scale: ", np.mean(scales))
+    print("min scale: ", np.min(scales))
+    print("max scale: ", np.max(scales))
+    if total_metrics:
+        print("total metrics: ", np.sum(np.array(total_metrics), 0) / len(total_metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""End-to-end integration: train CLI -> checkpoint -> test CLI (streaming
+inference + output tree) -> evaluation CLI (metric parity oracle), all on
+synthetic EventScape-format data.  Plus checkpoint round-trips, including
+export of a reference-loadable .pth.tar."""
+import json
+import os
+import subprocess
+import sys
+from os.path import join
+
+import numpy as np
+import pytest
+
+import jax
+
+from rpg_ramnet_tpu.core.config import Config
+from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+from rpg_ramnet_tpu.train.optim import make_optimizer
+from rpg_ramnet_tpu.train.checkpoint import CheckpointManager, export_pth_tar, load_any
+from rpg_ramnet_tpu.data.synthetic import generate_split
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tiny_config_dict(save_dir, name="e2e_run"):
+    return {
+        "name": name, "cuda": False, "gpu": 0,
+        "data_loader": {
+            "train": {
+                "type": "SequenceSynchronizedFramesEventsDataset",
+                "base_folder": "train", "depth_folder": "depth/data",
+                "frame_folder": "rgb/data", "event_folder": "events/voxels",
+                "proba_pause_when_running": 0.0, "proba_pause_when_paused": 0.0,
+                "step_size": 2, "clip_distance": 80.0, "every_x_rgb_frame": 5,
+                "scale_factor": 1, "reg_factor": 3.70378, "baseline": False,
+            },
+            "validation": {
+                "type": "SequenceSynchronizedFramesEventsDataset",
+                "base_folder": "val", "depth_folder": "depth/data",
+                "frame_folder": "rgb/data", "event_folder": "events/voxels",
+                "proba_pause_when_running": 0.0, "proba_pause_when_paused": 0.0,
+                "step_size": 2, "clip_distance": 80.0, "every_x_rgb_frame": 5,
+                "scale_factor": 1, "reg_factor": 3.70378, "baseline": False,
+            },
+            "batch_size": 2, "num_workers": 2, "pin_memory": False,
+            "normalize": True, "shuffle": True, "crop_size": 32,
+        },
+        "lr_scheduler_type": "ExponentialLR", "lr_scheduler_freq": 100,
+        "lr_scheduler": {"gamma": 0.5},
+        "optimizer_type": "Adam", "optimizer": {"lr": 0.0003, "weight_decay": 0},
+        "loss": {"type": "scale_invariant_loss",
+                 "config": {"weight": 1.0, "n_lambda": 1.0}},
+        "grad_loss": {"weight": 0.25},
+        "metrics": ["mse", "abs_rel_diff", "scale_invariant_error", "median_error"],
+        "trainer": {
+            "epochs": 1, "sequence_length": 2, "save_dir": save_dir,
+            "save_freq": 1, "verbosity": 1, "monitor": "val_loss",
+            "monitor_mode": "min", "num_previews": 1, "num_val_previews": 1,
+            "still_previews": False, "grid_loss": True,
+            "loss_composition": ["image", "events4"], "loss_weights": [1, 1],
+        },
+        "arch": "ERGB2DepthRecurrent", "use_phased_arch": False,
+        "model": {
+            "num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
+            "recurrent_block_type": "conv", "state_combination": "convgru",
+            "spatial_resolution": [32, 32], "num_encoders": 2,
+            "base_num_channels": 4, "num_residual_blocks": 1,
+            "use_upsample_conv": True, "norm": "none",
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("e2e")
+    data_root = ws / "datasets"
+    generate_split(str(data_root / "train"), n_sequences=2, n_frames=25,
+                   height=48, width=64, events_per_frame=500)
+    generate_split(str(data_root / "val"), n_sequences=1, n_frames=25,
+                   height=48, width=64, events_per_frame=500, seed=7)
+    generate_split(str(data_root / "test"), n_sequences=1, n_frames=25,
+                   height=48, width=64, events_per_frame=500, seed=11)
+    return ws
+
+
+def run(cmd, env_extra=None, cwd=REPO):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(env_extra or {})
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=cwd,
+                       timeout=900)
+    assert r.returncode == 0, f"cmd {cmd} failed:\n{r.stdout}\n{r.stderr}"
+    return r
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = Config.from_dict(tiny_config_dict(str(tmp_path)))
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg.model)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    mgr = CheckpointManager(str(tmp_path / "run"))
+    mgr.save("checkpoint-epoch0", params, opt_state, epoch=0,
+             monitor_best=1.5, config=cfg.raw)
+    p2, o2, meta = mgr.restore(str(tmp_path / "run" / "checkpoint-epoch0"),
+                               params, opt_state)
+    assert meta["epoch"] == 0 and meta["monitor_best"] == 1.5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, p2)
+
+
+def test_pth_tar_export_loads_into_reference(tmp_path):
+    """Our exported .pth.tar must strict-load into the reference torch model
+    (name/shape compatibility both directions)."""
+    import torch
+    from reference_loader import make_reference_model
+    cfg_d = dict(num_bins_rgb=1, num_bins_events=5, skip_type="sum",
+                 state_combination="convgru", num_encoders=3, base_num_channels=8,
+                 num_residual_blocks=2, recurrent_block_type="conv", norm="none",
+                 use_upsample_conv=True, every_x_rgb_frame=5, baseline=False,
+                 loss_composition=["image", "events4"], gpu=0,
+                 spatial_resolution=[32, 32], use_phased_arch=False)
+    cfg = Config.from_dict({"model": cfg_d, "arch": "ERGB2DepthRecurrent",
+                            "trainer": {"loss_composition": ["image", "events4"]},
+                            "data_loader": {"train": {"every_x_rgb_frame": 5,
+                                                      "baseline": False}}})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(1), cfg.model)
+    path = str(tmp_path / "export.pth.tar")
+    export_pth_tar(path, params, "ERGB2DepthRecurrent", cfg.raw)
+
+    tm = make_reference_model("ERGB2DepthRecurrent", cfg_d)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    tm.load_state_dict(ckpt["state_dict"], strict=True)  # names+shapes match
+
+    # and back: load_any on the .pth.tar returns our param tree
+    params2, _ = load_any(path)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-6),
+        params, params2)
+
+
+@pytest.mark.slow
+def test_full_pipeline_cli(workspace):
+    """train.py -> test.py -> evaluation.py on synthetic data."""
+    ws = workspace
+    save_dir = str(ws / "runs")
+    cfg_path = str(ws / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(tiny_config_dict(save_dir), f)
+    env = {"PREPROCESSED_DATASETS_FOLDER": str(ws / "datasets")}
+
+    r = run([sys.executable, "train.py", "--config", cfg_path, "--no_mesh"],
+            env_extra=env)
+    run_dir = join(save_dir, "e2e_run")
+    assert os.path.exists(join(run_dir, "model_best"))
+    assert os.path.exists(join(run_dir, "config.json"))
+    assert os.path.exists(join(run_dir, "train_log.jsonl"))
+
+    out_dir = str(ws / "test_out")
+    run([sys.executable, "test.py",
+         "--path_to_model", join(run_dir, "model_best"),
+         "--config", join(run_dir, "config.json"),
+         "--output_path", out_dir,
+         "--data_folder", "test",
+         "--crop", "32,32"], env_extra=env)
+    npy_dir = join(out_dir, "npy", "image")
+    gt_dir = join(out_dir, "ground_truth", "npy", "depth_image")
+    preds = sorted(os.listdir(npy_dir))
+    assert len(preds) >= 2, preds
+    assert os.path.exists(join(out_dir, "depth", "image"))
+    assert os.path.exists(join(out_dir, "color_map", "image"))
+
+    r = run([sys.executable, "evaluation.py",
+             "--target_dataset", gt_dir,
+             "--predictions_dataset", npy_dir,
+             "--clip_distance", "80.0",
+             "--reg_factor", "3.70378",
+             "--crop_ymax", "260"], env_extra=env)
+    assert "_abs_rel_diff" in r.stdout
+    # parse the abs_rel metric and sanity-check it's finite
+    for line in r.stdout.splitlines():
+        if line.startswith("_abs_rel_diff"):
+            val = float(line.split(":")[1])
+            assert np.isfinite(val) and val >= 0
+            break
+    else:
+        raise AssertionError("abs_rel_diff not printed")
