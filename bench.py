@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Benchmark harness.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline: end-to-end depth FPS of the full RAM-Net model (3 encoders, base
+32, K=5 events + 1 frame per package) streaming at the reference's test
+resolution 256x512, single stream (test.py semantics).  vs_baseline is the
+ratio against the reference PyTorch model measured on this host's CPU (the
+reference's GPU baseline is not measurable in this environment).
+
+Timing methodology: this TPU is reached through a tunnel where per-dispatch
+latency is ~30ms and async dispatch makes naive per-call timing meaningless.
+Every benchmark therefore runs N chained iterations INSIDE one jitted
+program (dynamic trip count -> one compilation) and reports
+(t(N_hi) - t(N_lo)) / (N_hi - N_lo), which cancels dispatch latency,
+readback and any constant overhead.
+
+Secondary benchmarks (written to BENCH_DETAILS.json): batched multi-lane
+streaming throughput (BASELINE config 5) and Pallas voxelizer Mev/s vs the
+reference's np.add.at CPU voxelizer.
+"""
+import contextlib
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timed_scalar(fn, *args):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    val = float(np.asarray(out).ravel()[0])  # forces full sync + readback
+    return time.perf_counter() - t0, val
+
+
+def _per_iter_seconds(run_n, args_lo, args_hi, n_lo, n_hi, repeats=3):
+    _timed_scalar(run_n, *args_lo)  # warm
+    lo = min(_timed_scalar(run_n, *args_lo)[0] for _ in range(repeats))
+    hi = min(_timed_scalar(run_n, *args_hi)[0] for _ in range(repeats))
+    return (hi - lo) / (n_hi - n_lo)
+
+
+def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from rpg_ramnet_tpu.core.config import ModelConfig
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
+        "recurrent_block_type": "conv", "state_combination": "convgru",
+        "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
+        "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
+        "baseline": False})
+    K = mcfg.every_x_rgb_frame
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    state0 = ERGB2DepthRecurrent.init_state(mcfg, lanes, H, W)
+    rng = np.random.RandomState(0)
+    pkg = {
+        "events": jnp.asarray(rng.randn(lanes, K, H, W, 5).astype(np.float32)),
+        "image": jnp.asarray(rng.rand(lanes, H, W, 1).astype(np.float32)),
+    }
+
+    @jax.jit
+    def run_n(params, state, pkg, n):
+        def body(i, st):
+            st, preds = ERGB2DepthRecurrent.forward_package(params, mcfg, st, pkg)
+            return st
+        st = lax.fori_loop(0, n, body, state)
+        return sum(jnp.sum(jnp.abs(s)) for s in jax.tree_util.tree_leaves(st))
+
+    sec = _per_iter_seconds(run_n,
+                            (params, state0, pkg, n_lo),
+                            (params, state0, pkg, n_hi), n_lo, n_hi)
+    depth_maps_per_package = K + 1
+    return lanes * depth_maps_per_package / sec
+
+
+def bench_torch_reference_fps(H=256, W=512, iters=3):
+    """Reference PyTorch model on this host's CPU, same shapes/semantics."""
+    import torch
+    sys.path.insert(0, "/root/repo/tests")
+    from reference_loader import make_reference_model
+    cfg = dict(num_bins_rgb=1, num_bins_events=5, skip_type="sum",
+               state_combination="convgru", num_encoders=3, base_num_channels=32,
+               num_residual_blocks=2, recurrent_block_type="conv", norm="none",
+               use_upsample_conv=True, every_x_rgb_frame=5, baseline=False,
+               loss_composition=["image", "events4"], gpu=0,
+               spatial_resolution=[H, W], use_phased_arch=False)
+    tm = make_reference_model("ERGB2DepthRecurrent", cfg)
+    rng = np.random.RandomState(0)
+    item = {f"events{k}": torch.from_numpy(rng.randn(1, 5, H, W).astype(np.float32))
+            for k in range(5)}
+    item["image"] = torch.from_numpy(rng.rand(1, 1, H, W).astype(np.float32))
+    prev_lstm = {f"events{k}": None for k in range(5)}
+    prev_lstm["image"] = None
+
+    with torch.no_grad():
+        preds, supers, lstm = tm(item, None, prev_lstm)  # warmup + init
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tm(item, supers["image"], lstm)
+        sec = (time.perf_counter() - t0) / iters
+    return 6 / sec
+
+
+def bench_voxelizer(n_events=1_000_000, num_bins=5, H=260, W=346,
+                    n_lo=1, n_hi=6):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from rpg_ramnet_tpu import ops
+    from rpg_ramnet_tpu.ops import voxel as V
+
+    rng = np.random.RandomState(0)
+    t = np.sort(rng.uniform(0, 0.05, n_events))
+    ev = np.stack([t, rng.randint(0, W, n_events).astype(np.float64),
+                   rng.randint(0, H, n_events).astype(np.float64),
+                   rng.randint(0, 2, n_events).astype(np.float64)], axis=1)
+    ev32 = jnp.asarray(ev.astype(np.float32))
+    nv = jnp.int32(n_events)
+
+    # reference CPU path (np.add.at)
+    t0 = time.perf_counter()
+    ops.events_to_voxel_grid_np(ev.copy(), num_bins, H, W)
+    cpu_sec = time.perf_counter() - t0
+    cpu_mevs = n_events / cpu_sec / 1e6
+
+    out = {"cpu_np_add_at_mevs": cpu_mevs}
+    backend = jax.default_backend()
+    kernels = {"pallas": V.events_to_voxel_grid_pallas,
+               "scatter": V.events_to_voxel_grid_scatter} if backend != "cpu" \
+        else {"scatter": V.events_to_voxel_grid_scatter}
+
+    for name, kern in kernels.items():
+        @jax.jit
+        def run_n(events, n_valid, n, _kern=kern):
+            def body(i, carry):
+                # carry-dependent perturbation defeats loop-invariant hoisting
+                e = events.at[0, 0].add(carry * 1e-20)
+                g = _kern(e, n_valid, num_bins=num_bins, height=H, width=W)
+                return jnp.sum(jnp.abs(g))
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        sec = _per_iter_seconds(run_n, (ev32, nv, n_lo), (ev32, nv, n_hi),
+                                n_lo, n_hi, repeats=2)
+        out[f"{backend}_{name}_mevs"] = n_events / sec / 1e6
+        out[f"{backend}_{name}_vs_cpu"] = out[f"{backend}_{name}_mevs"] / cpu_mevs
+    return out
+
+
+def main():
+    from rpg_ramnet_tpu.utils import ensure_platform
+    backend = ensure_platform()
+    details = {"backend": backend}
+
+    # keep stdout clean for the single JSON result line — all sub-benchmarks
+    # (incl. the chatty reference torch model constructor) log to stderr
+    with contextlib.redirect_stdout(sys.stderr):
+        fps1 = bench_jax_fps(lanes=1)
+        details["jax_fps_single_stream"] = fps1
+        try:
+            details["jax_fps_8lane_throughput"] = bench_jax_fps(lanes=8, n_hi=8)
+        except Exception as e:  # memory-constrained fallbacks
+            details["jax_fps_8lane_throughput_error"] = str(e)
+        try:
+            torch_fps = bench_torch_reference_fps()
+            details["torch_cpu_reference_fps"] = torch_fps
+        except Exception as e:
+            torch_fps = None
+            details["torch_cpu_reference_fps_error"] = str(e)
+        try:
+            details["voxelizer"] = bench_voxelizer()
+        except Exception as e:
+            details["voxelizer_error"] = str(e)
+
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=2)
+
+    vs = fps1 / torch_fps if torch_fps else float("nan")
+    print(json.dumps({"metric": "e2e_depth_fps_256x512",
+                      "value": round(fps1, 3),
+                      "unit": "depth_maps/s",
+                      "vs_baseline": round(vs, 3)}))
+
+
+if __name__ == "__main__":
+    main()

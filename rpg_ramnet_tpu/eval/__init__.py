@@ -1,3 +1,3 @@
-from . import metrics
+from . import metrics, inference, writers, evaluation, filters
 
-__all__ = ["metrics"]
+__all__ = ["metrics", "inference", "writers", "evaluation", "filters"]

@@ -334,6 +334,75 @@ def phased_lstm_gate_init(key, hidden_size, period_init_min=0.02,
     return {"tau": tau, "phase": phase}
 
 
+def phased_conv_lstm_init(key, input_channels, hidden_channels, height, width,
+                          kernel_size=3, dtype=jnp.float32):
+    """PhasedConvLSTMCell (submodules.py:361-411): a ConvLSTM whose output
+    states are blended with the previous states by a learnable time gate
+    over the flattened feature map (hidden_size = C*H*W).  In the reference
+    the gate is lazily created on first forward; here the spatial size is
+    part of the config (spatial_resolution), so init is eager."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "lstm": conv_lstm_init(k1, input_channels, hidden_channels, kernel_size, dtype),
+        "phased_cell": phased_lstm_gate_init(k2, hidden_channels * height * width,
+                                             dtype=dtype),
+    }
+
+
+def _flatten_torch_order(x):
+    """[B, H, W, C] -> [B, C*H*W] matching torch's NCHW .view(B, -1), so the
+    per-feature tau/phase parameters line up with reference checkpoints."""
+    return jnp.moveaxis(x, -1, 1).reshape(x.shape[0], -1)
+
+
+def _unflatten_torch_order(x, h, w, c):
+    return jnp.moveaxis(x.reshape(x.shape[0], c, h, w), 1, -1)
+
+
+def phased_conv_lstm_apply(p, x, times, state, padding=1):
+    """Reference forward (submodules.py:381-411), including its state-slot
+    conventions: state=(c0, h0); the ConvLSTM consumes them in its
+    (hidden, cell) slots; returns (h_t, (c_s, h_s)) where the time gate k(t)
+    blends new vs previous flattened states."""
+    b, h, w, c_in = x.shape
+    c0, h0 = state
+    # the reference feeds (c0, h0) into the ConvLSTM's (hidden, cell) slots
+    # and unpacks its (hidden, cell) return as (c_t, h_t) — kept verbatim
+    c_t, h_t = conv_lstm_apply(p["lstm"], x, (c0, h0), padding)
+    ch = c_t.shape[-1]
+    # gate returns (h_new, c_new) = (k*h_t+(1-k)*h0, k*c_t+(1-k)*c0); the
+    # reference stores exactly this pair as the next (c0, h0) state
+    h_new, c_new = phased_lstm_gate_apply(
+        p["phased_cell"],
+        _flatten_torch_order(c_t), _flatten_torch_order(h_t),
+        _flatten_torch_order(c0), _flatten_torch_order(h0), times)
+    return h_t, (_unflatten_torch_order(h_new, h, w, ch),
+                 _unflatten_torch_order(c_new, h, w, ch))
+
+
+def recurrent_phased_conv_layer_init(key, in_ch, out_ch, height, width,
+                                     kernel_size=3, norm=None, dtype=jnp.float32):
+    """RecurrentPhasedConvLayer (submodules.py:145-157): strided conv
+    followed by a PhasedConvLSTMCell; `height`/`width` are the POST-conv
+    spatial dims (the phased gate is per flattened feature)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv": conv_layer_init(k1, in_ch, out_ch, kernel_size, norm, dtype),
+        "recurrent_block": phased_conv_lstm_init(k2, out_ch, out_ch,
+                                                 height, width, 3, dtype),
+    }
+
+
+def recurrent_phased_conv_layer_apply(p, x, times, state, stride=1, padding=0,
+                                      norm=None):
+    x = conv_layer_apply(p["conv"], x, stride, padding, "relu", norm)
+    if state is None:
+        z = jnp.zeros_like(x)
+        state = (z, z)
+    y, state = phased_conv_lstm_apply(p["recurrent_block"], x, times, state)
+    return y, state
+
+
 def phased_lstm_gate_apply(p, c_s, h_s, c0, h0, t, leak=0.001, ratio_on=0.1):
     """Time gate k(t) blending new state (c_s, h_s) with previous (c0, h0).
 

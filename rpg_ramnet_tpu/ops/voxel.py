@@ -181,49 +181,60 @@ def events_to_voxel_grid_matmul(events, n_valid, *, num_bins: int, height: int,
 # ---------------------------------------------------------------------------
 
 
+_LANE = 128
+_SUBCHUNKS = 8  # sub-rows per grid step; E = _SUBCHUNKS * _LANE events/step
+
+
 def _voxel_kernel(rows_ref, cols_ref, vals_ref, out_ref):
+    """Grid step: 8 sub-batches of 128 events each; every sub-batch becomes
+    two one-hot factors contracted on the MXU into the VMEM-resident
+    [BH_pad, W_pad] accumulator.  Refs rows/cols/vals are [8, 128] blocks
+    (TPU-tileable: sublane 8, lane 128)."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    e = rows_ref.shape[1]
     bh_pad = out_ref.shape[0]
     w_pad = out_ref.shape[1]
-    rows = rows_ref[0, :]
-    cols = cols_ref[0, :]
-    vals = vals_ref[0, :]
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (e, bh_pad), 1)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (e, w_pad), 1)
-    oh_rows = (rows[:, None] == row_iota).astype(jnp.float32)
-    p = vals[:, None] * (cols[:, None] == col_iota).astype(jnp.float32)
-    out_ref[:] += lax.dot_general(oh_rows, p, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANE, bh_pad), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANE, w_pad), 1)
+    acc = jnp.zeros((bh_pad, w_pad), jnp.float32)
+    for j in range(_SUBCHUNKS):
+        rows = rows_ref[j, :]
+        cols = cols_ref[j, :]
+        vals = vals_ref[j, :]
+        oh_rows = (rows[:, None] == row_iota).astype(jnp.float32)
+        p = vals[:, None] * (cols[:, None] == col_iota).astype(jnp.float32)
+        acc += lax.dot_general(oh_rows, p, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    out_ref[:] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("num_bins", "height", "width", "chunk"))
+@functools.partial(jax.jit, static_argnames=("num_bins", "height", "width"))
 def events_to_voxel_grid_pallas(events, n_valid, *, num_bins: int, height: int,
-                                width: int, chunk: int = 1024):
+                                width: int):
     """Pallas TPU voxelizer.  The [num_bins*H, W] accumulator stays resident
     in VMEM across the whole event stream; each grid step turns a chunk of
     events into two one-hot factors and feeds the MXU."""
     rows, cols, vals = _event_contributions(events, n_valid, num_bins, height, width)
+    chunk = _SUBCHUNKS * _LANE
     m = rows.shape[0]
     m_pad = _round_up(m, chunk)
     n_chunks = m_pad // chunk
-    rows = jnp.pad(rows, (0, m_pad - m)).reshape(n_chunks, chunk)
-    cols = jnp.pad(cols, (0, m_pad - m)).reshape(n_chunks, chunk)
-    vals = jnp.pad(vals, (0, m_pad - m)).reshape(n_chunks, chunk)
+    rows = jnp.pad(rows, (0, m_pad - m)).reshape(-1, _LANE)
+    cols = jnp.pad(cols, (0, m_pad - m)).reshape(-1, _LANE)
+    vals = jnp.pad(vals, (0, m_pad - m)).reshape(-1, _LANE)
 
     bh = num_bins * height
-    bh_pad = _round_up(bh, 8)
-    w_pad = _round_up(width, 128)
+    bh_pad = _round_up(bh, _LANE)
+    w_pad = _round_up(width, _LANE)
 
     grid_spec = pl.GridSpec(
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBCHUNKS, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBCHUNKS, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBCHUNKS, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bh_pad, w_pad), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -234,7 +245,7 @@ def events_to_voxel_grid_pallas(events, n_valid, *, num_bins: int, height: int,
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * bh_pad * w_pad,
+            flops=2 * m_pad * (bh_pad + w_pad) * _LANE,
             bytes_accessed=m_pad * 12 + bh_pad * w_pad * 4,
             transcendentals=0,
         ),

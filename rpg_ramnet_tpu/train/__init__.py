@@ -1,3 +1,3 @@
-from . import losses
+from . import losses, optim, sequence_loss, train_step, checkpoint, trainer
 
-__all__ = ["losses"]
+__all__ = ["losses", "optim", "sequence_loss", "train_step", "checkpoint", "trainer"]
