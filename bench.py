@@ -66,7 +66,12 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12):
     @jax.jit
     def run_n(params, state, pkg, n):
         def body(i, st):
-            st, preds = ERGB2DepthRecurrent.forward_package(params, mcfg, st, pkg)
+            # per-iteration input perturbation: prevents XLA from hoisting
+            # the (state-independent) encoder convs out of the loop, which
+            # would overstate streaming FPS
+            eps = (i + 1).astype(jnp.float32) * 1e-9
+            pkg_i = {"events": pkg["events"] + eps, "image": pkg["image"] + eps}
+            st, preds = ERGB2DepthRecurrent.forward_package(params, mcfg, st, pkg_i)
             return st
         st = lax.fori_loop(0, n, body, state)
         return sum(jnp.sum(jnp.abs(s)) for s in jax.tree_util.tree_leaves(st))

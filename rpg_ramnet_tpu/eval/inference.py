@@ -86,6 +86,22 @@ class StreamingInference:
         self._state, preds = self._fwd(self.params, self._state, batched)
         return {k: np.asarray(v[0]) for k, v in preds.items()}
 
+    def step_modality(self, x: np.ndarray, modality: str = "events") -> np.ndarray:
+        """Single-modality streaming (events-only live demo): one encoder
+        sweep + decoder per call.  x: [H, W, C] unbatched -> [H, W, 1]."""
+        from ..models import statenet
+        h, w = x.shape[0], x.shape[1]
+        if self._state is None:
+            self.reset(1, h, w)
+        if not hasattr(self, "_fwd_mod"):
+            def fwd_mod(p, s, xx, mod):
+                s = statenet.forward_modality(p, self.cfg, xx, s, mod)
+                return s, statenet.forward_decoder(p, self.cfg, s)
+            self._fwd_mod = jax.jit(fwd_mod, static_argnames=("mod",))
+        self._state, pred = self._fwd_mod(self.params, self._state,
+                                          jnp.asarray(x)[None], modality)
+        return np.asarray(pred[0])
+
 
 class BatchedStreamingInference:
     """Multi-lane streaming: N independent sequences advance in lockstep;

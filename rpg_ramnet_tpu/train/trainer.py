@@ -129,6 +129,45 @@ class Trainer:
         out["sec_per_epoch"] = wall
         return out
 
+    # ------------------------------------------------------------------
+    # previews (reference lstm_trainer.py:480-550: per-epoch prediction /
+    # ground-truth grids and movies in TensorBoard)
+    # ------------------------------------------------------------------
+
+    def _write_previews(self, epoch: int, tag_prefix: str, loader: BatchLoader,
+                        num_previews: int):
+        if self.tb is None or num_previews <= 0 or len(loader.dataset) == 0:
+            return
+        from ..utils.training_utils import select_evenly_spaced_elements
+        from ..models.model import prediction_keys
+        idxs = select_evenly_spaced_elements(num_previews, len(loader.dataset))
+        model, mcfg = self.model, self.cfg.model
+        for p_i, idx in enumerate(idxs):
+            item, _ = loader.dataset[idx]
+            seq = {"events": jax.numpy.asarray(item["events"][None]),
+                   "image": jax.numpy.asarray(item["image"][None])}
+            b, l, h, w = 1, item["image"].shape[0], item["image"].shape[1], item["image"].shape[2]
+            state0 = model.init_state(mcfg, 1, h, w)
+            _, preds = model.forward_sequence(
+                jax.device_get(self.params) if self.mesh else self.params,
+                mcfg, state0, seq)
+            for key in preds:
+                pred = np.asarray(preds[key])[:, 0, :, :, 0]       # [L, H, W]
+                if key == "image":
+                    gt = item["depth_image"][:, :, :, 0]
+                    inp = item["image"].sum(axis=-1)
+                else:
+                    k = int(key[len("events"):])
+                    gt = item["depth_events"][:, k, :, :, 0]
+                    inp = item["events"][:, k].sum(axis=-1)
+                # grid rows: inputs / predictions / ground truth over time
+                grid = np.concatenate([
+                    np.concatenate(list(np.clip(inp * 0.5 + 0.5, 0, 1)), axis=1),
+                    np.concatenate(list(pred), axis=1),
+                    np.concatenate(list(np.nan_to_num(gt)), axis=1)], axis=0)
+                self.tb.add_image(f"{tag_prefix}{p_i}_{key}__input_pred_gt",
+                                  grid[None], epoch)
+
     def train(self) -> Dict[str, Any]:
         cfg = self.cfg
         final_log: Dict[str, Any] = {}
@@ -148,6 +187,16 @@ class Trainer:
                 for k, v in log.items():
                     if isinstance(v, (int, float)):
                         self.tb.add_scalar(k, v, epoch)
+                try:
+                    if cfg.trainer.still_previews or cfg.trainer.movie:
+                        self._write_previews(epoch, "preview_", self.train_loader,
+                                             cfg.trainer.num_previews)
+                        if self.valid_loader is not None:
+                            self._write_previews(epoch, "val_preview_",
+                                                 self.valid_loader,
+                                                 cfg.trainer.num_val_previews)
+                except Exception as e:
+                    self.logger.warning("preview writing failed: %s", e)
 
             monitored = log.get(self.monitor.replace("val_loss", "val_loss"), None)
             if monitored is None:

@@ -140,6 +140,43 @@ def test_pth_tar_export_loads_into_reference(tmp_path):
         params, params2)
 
 
+def test_depth_stream_cli(tmp_path):
+    """Live streaming demo: raw event log -> voxelize -> recurrent model."""
+    cfg_dict = tiny_config_dict(str(tmp_path))
+    cfg = Config.from_dict(cfg_dict)
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg.model)
+    run_dir = tmp_path / "run"
+    opt = make_optimizer(cfg)
+    mgr = CheckpointManager(str(run_dir))
+    mgr.save("model_best", params, opt.init(params), epoch=0,
+             monitor_best=0.0, config=cfg_dict)
+    with open(run_dir / "config.json", "w") as f:
+        json.dump(cfg_dict, f)
+
+    rng = np.random.RandomState(0)
+    n = 4000
+    t = np.sort(rng.uniform(0, 0.4, n))
+    lines = ["0 48 64\n"] + [
+        f"{t[i]:.6f} {rng.randint(0, 64)} {rng.randint(0, 48)} {rng.randint(0, 2)}\n"
+        for i in range(n)]
+    ev_path = tmp_path / "events.txt"
+    with open(ev_path, "w") as f:
+        f.writelines(lines)
+
+    out_dir = tmp_path / "stream_out"
+    run([sys.executable, "depth_stream.py",
+         "-i", str(ev_path),
+         "--path_to_model", str(run_dir / "model_best"),
+         "--height", "48", "--width", "64",
+         "--fixed_duration", "--window_duration", "100",
+         "-o", str(out_dir), "--save_numpy"])
+    frames = os.listdir(out_dir / "frames")
+    assert len(frames) >= 2
+    npys = os.listdir(out_dir / "npy")
+    d = np.load(out_dir / "npy" / sorted(npys)[0])
+    assert d.shape == (1, 48, 64) and np.all(np.isfinite(d))
+
+
 @pytest.mark.slow
 def test_full_pipeline_cli(workspace):
     """train.py -> test.py -> evaluation.py on synthetic data."""
