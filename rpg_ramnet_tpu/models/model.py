@@ -49,7 +49,7 @@ class ERGB2DepthRecurrent:
 
     @staticmethod
     def init_state(cfg: ModelConfig, batch: int, height: int, width: int,
-                   dtype=jnp.float32):
+                   dtype=None):
         return statenet.init_state(cfg, batch, height, width, dtype)
 
     @staticmethod

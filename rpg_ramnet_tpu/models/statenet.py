@@ -27,6 +27,11 @@ from . import layers as L
 # ---------------------------------------------------------------------------
 
 
+def compute_dtype(cfg: ModelConfig):
+    """bf16 compute with f32 params/loss when configured (MXU-friendly)."""
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
 class ModalityState(NamedTuple):
     """Per-modality recurrent state (only populated for the variants that
     carry it; empty tuples otherwise so the pytree structure stays static)."""
@@ -42,8 +47,10 @@ class StateNetState(NamedTuple):
 
 
 def init_state(cfg: ModelConfig, batch: int, height: int, width: int,
-               dtype=jnp.float32) -> StateNetState:
+               dtype=None) -> StateNetState:
     """Zero state, sized per reference model/model.py:146-159."""
+    if dtype is None:
+        dtype = compute_dtype(cfg)
     supers = []
     enc_events, enc_image = [], []
     for i in range(cfg.num_encoders):
@@ -171,6 +178,7 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
         combs = params.get("state_combination_images", [])
         enc_states = state.image.encoders
 
+    x = x.astype(compute_dtype(cfg))
     x = L.conv_layer_apply(head_p, x, 1, 2, "relu", cfg.norm)
 
     new_supers: List[Any] = []
@@ -247,4 +255,5 @@ def forward_decoder(params, cfg: ModelConfig, state: StateNetState):
         else:
             x = L.transposed_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
     pred = L.conv_layer_apply(params["pred"], x, 1, 0, None, cfg.norm)
-    return L._activation_fn(cfg.activation)(pred)
+    # predictions/losses stay float32 regardless of compute dtype
+    return L._activation_fn(cfg.activation)(pred.astype(jnp.float32))

@@ -51,6 +51,8 @@ def _skip(cfg: ModelConfig, x1, x2):
 
 def forward(params, cfg: ModelConfig, x):
     """x: [N, H, W, num_bins_rgb] -> [N, H, W, 1] in [0, 1]."""
+    from .statenet import compute_dtype
+    x = x.astype(compute_dtype(cfg))
     x = L.conv_layer_apply(params["head"], x, 1, 2, "relu", cfg.norm)
     head = x
     blocks = []
@@ -67,4 +69,4 @@ def forward(params, cfg: ModelConfig, x):
         else:
             x = L.transposed_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
     pred = L.conv_layer_apply(params["pred"], _skip(cfg, x, head), 1, 0, None, cfg.norm)
-    return L._activation_fn(cfg.activation)(pred)
+    return L._activation_fn(cfg.activation)(pred.astype(jnp.float32))
