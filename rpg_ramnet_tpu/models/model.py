@@ -66,13 +66,18 @@ class ERGB2DepthRecurrent:
         loop = event_loop_range(cfg)
         # baselines route events through the image encoder (model.py:181-189)
         event_modality = "image" if cfg.is_baseline else "events"
+        times_ev = pkg.get("times_events") if cfg.use_phased_arch else None
+        times_im = pkg.get("times_image") if cfg.use_phased_arch else None
         for k in range(loop):
             x = pkg["events"][:, k]
-            state = statenet.forward_modality(params, cfg, x, state, event_modality)
+            t = times_ev[:, k] if times_ev is not None else None
+            state = statenet.forward_modality(params, cfg, x, state,
+                                              event_modality, times=t)
             key = f"events{k}"
             if decode_keys is None or key in decode_keys:
                 preds[key] = statenet.forward_decoder(params, cfg, state)
-        state = statenet.forward_modality(params, cfg, pkg["image"], state, "image")
+        state = statenet.forward_modality(params, cfg, pkg["image"], state,
+                                          "image", times=times_im)
         if decode_keys is None or "image" in decode_keys:
             preds["image"] = statenet.forward_decoder(params, cfg, state)
         return state, preds
@@ -95,10 +100,8 @@ class ERGB2DepthRecurrent:
         if remat:
             step = jax.checkpoint(step)
         # time axis must lead for scan
-        seq_t = {
-            "events": jnp.moveaxis(seq["events"], 1, 0),
-            "image": jnp.moveaxis(seq["image"], 1, 0),
-        }
+        seq_t = {k: jnp.moveaxis(v, 1, 0) for k, v in seq.items()
+                 if k in ("events", "image", "times_events", "times_image")}
         final_state, preds = jax.lax.scan(step, state, seq_t)
         # [L, B, H, W, 1] per key -> keep time-leading layout for the loss
         return final_state, preds

@@ -90,8 +90,20 @@ def init_params(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict[str, Any]:
 
     enc_rgb, enc_ev = [], []
     comb_img, comb_ev = [], []
-    for in_c, out_c in zip(cfg.encoder_input_sizes, cfg.encoder_output_sizes):
-        if cfg.recurrent_block_type == "convlstm":
+    for i, (in_c, out_c) in enumerate(zip(cfg.encoder_input_sizes,
+                                          cfg.encoder_output_sizes)):
+        if cfg.use_phased_arch and cfg.recurrent_block_type == "convlstm":
+            # irregular-timestamp regime (MVSEC branch machinery,
+            # submodules.py:145-157): strided conv + PhasedConvLSTM whose
+            # time gate spans the post-conv feature map
+            h_i = cfg.spatial_resolution[0] // (2 ** (i + 1))
+            w_i = cfg.spatial_resolution[1] // (2 ** (i + 1))
+            enc_rgb.append(L.recurrent_phased_conv_layer_init(
+                next(keys), in_c, out_c, h_i, w_i, 5, cfg.norm, dtype))
+            if not cfg.is_baseline:
+                enc_ev.append(L.recurrent_phased_conv_layer_init(
+                    next(keys), in_c, out_c, h_i, w_i, 5, cfg.norm, dtype))
+        elif cfg.recurrent_block_type == "convlstm":
             enc_rgb.append(L.recurrent2_conv_layer_init(next(keys), in_c, out_c, 5, "convlstm", cfg.norm, dtype))
             if not cfg.is_baseline:
                 enc_ev.append(L.recurrent2_conv_layer_init(next(keys), in_c, out_c, 5, "convlstm", cfg.norm, dtype))
@@ -158,7 +170,7 @@ def _super_hidden(cfg: ModelConfig, s):
 
 
 def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
-                     modality: str):
+                     modality: str, times=None):
     """One encoder sweep of one modality, updating the shared super states.
 
     modality: 'events' -> head_events/encoders_events/state_combination_events
@@ -187,6 +199,11 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
         prev_super = state.super_states[i]
         if cfg.recurrent_block_type == "conv":
             x = L.conv_layer_apply(encoders[i], x, 2, 2, "relu", cfg.norm)
+        elif cfg.use_phased_arch:
+            t = times if times is not None else jnp.zeros((x.shape[0],), x.dtype)
+            x, enc_st = L.recurrent_phased_conv_layer_apply(
+                encoders[i], x, t, enc_states[i], 2, 2, cfg.norm)
+            new_enc_states.append(enc_st)
         else:  # convlstm encoder
             x, enc_st = L.recurrent2_conv_layer_apply(
                 encoders[i], x, enc_states[i], 2, 2, "convlstm", cfg.norm)

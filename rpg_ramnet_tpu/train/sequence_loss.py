@@ -63,9 +63,10 @@ def make_sequence_loss(cfg: Config, remat: bool = False):
     num_keys = max(len(keys), 1)
 
     def loss_fn(params, state0, batch):
-        _, preds = model.forward_sequence(params, mcfg, state0,
-                                          {"events": batch["events"],
-                                           "image": batch["image"]},
+        seq_in = {k: batch[k] for k in
+                  ("events", "image", "times_events", "times_image")
+                  if k in batch}
+        _, preds = model.forward_sequence(params, mcfg, state0, seq_in,
                                           decode_keys=keys, remat=remat)
         l_steps = batch["image"].shape[1]
         total_si = 0.0

@@ -1,0 +1,79 @@
+"""Phased (irregular-timestamp) StateNet integration tests — the MVSEC
+regime of BASELINE config 3.  The vendored reference branch keeps the phased
+machinery dormant (use_phased_arch false in all shipped configs; the
+activating branch is not vendored), so these are behavioral tests of our
+integration: continuous `times` inputs modulate the recurrent state through
+the PhasedConvLSTM time gates."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rpg_ramnet_tpu.core.config import Config
+from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+
+from test_train import tiny_config, make_batch
+
+
+def phased_config():
+    cfg = tiny_config(recurrent_block_type="convlstm",
+                      state_combination="convlstm",
+                      spatial_resolution=[16, 16])
+    raw = dict(cfg.raw)
+    raw["use_phased_arch"] = True
+    raw["model"] = {**raw["model"], "use_phased_arch": True,
+                    "spatial_resolution": [16, 16]}
+    return Config.from_dict(raw)
+
+
+def _batch_with_times(cfg, seed=0):
+    batch = make_batch(cfg, seed=seed)
+    B, L, K = 2, 2, cfg.model.every_x_rgb_frame
+    rng = np.random.RandomState(seed + 100)
+    t0 = np.cumsum(rng.uniform(0.01, 0.2, (B, L, K)), axis=1).astype(np.float32)
+    batch["times_events"] = jnp.asarray(t0)
+    batch["times_image"] = jnp.asarray(t0[:, :, -1] + 0.005)
+    return batch
+
+
+def test_phased_forward_and_time_sensitivity():
+    cfg = phased_config()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg.model)
+    batch = _batch_with_times(cfg)
+    state0 = ERGB2DepthRecurrent.init_state(cfg.model, 2, 16, 16)
+    _, preds_a = ERGB2DepthRecurrent.forward_sequence(
+        params, cfg.model, state0,
+        {k: batch[k] for k in ("events", "image", "times_events", "times_image")})
+    assert preds_a["image"].shape == (2, 2, 16, 16, 1)
+    assert np.all(np.isfinite(np.asarray(preds_a["image"])))
+
+    # different timestamps -> different predictions (the time gate works)
+    batch_b = dict(batch)
+    batch_b["times_events"] = batch["times_events"] * 7.3 + 1.0
+    batch_b["times_image"] = batch["times_image"] * 7.3 + 1.0
+    _, preds_b = ERGB2DepthRecurrent.forward_sequence(
+        params, cfg.model, state0,
+        {k: batch_b[k] for k in ("events", "image", "times_events", "times_image")})
+    diff = np.abs(np.asarray(preds_a["image"]) - np.asarray(preds_b["image"])).max()
+    assert diff > 1e-5, diff
+
+
+def test_phased_training_step():
+    from rpg_ramnet_tpu.train.optim import make_optimizer
+    from rpg_ramnet_tpu.train.train_step import make_train_step
+    cfg = phased_config()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(1), cfg.model)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt, donate=False)
+    batch = _batch_with_times(cfg, seed=5)
+    first = None
+    for _ in range(6):
+        params, opt_state, aux = step(params, opt_state, batch)
+        assert np.isfinite(float(aux["loss"]))
+        if first is None:
+            first = float(aux["loss"])
+    assert float(aux["loss"]) < first
+    # tau/phase gate parameters receive gradients (they're in the pytree)
+    leaf = params["encoders_rgb"][0]["recurrent_block"]["phased_cell"]["tau"]
+    assert leaf.shape[0] > 0
