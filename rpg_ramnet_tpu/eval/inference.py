@@ -137,6 +137,59 @@ class BatchedStreamingInference:
         return preds
 
 
+def run_batched_streaming(dataset, params, cfg: ModelConfig,
+                          arch: str = "ERGB2DepthRecurrent",
+                          n_lanes: int = 4, on_prediction=None):
+    """Drive a ConcatSequenceDataset through lane-batched streaming.
+
+    Sequences (sub-datasets) are distributed round-robin over `n_lanes`;
+    each lane streams its sequences back-to-back with a reset at every
+    sequence boundary.  Per-item outputs are identical to single-lane
+    streaming; throughput scales with lanes (BASELINE config 5).
+
+    on_prediction(global_idx, preds_dict, item) is called for every valid
+    item in global dataset order is NOT guaranteed — callbacks receive the
+    dataset-global index so writers can name files correctly.
+    """
+    sizes = [len(d) for d in dataset.datasets]
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    # round-robin sequences over lanes
+    lane_items: list = [[] for _ in range(n_lanes)]
+    for s, (start, size) in enumerate(zip(starts, sizes)):
+        lane = s % n_lanes
+        for i in range(size):
+            lane_items[lane].append((int(start + i), i))
+    max_len = max(len(li) for li in lane_items) if lane_items else 0
+
+    item0, _ = dataset[0]
+    ev_zero = np.zeros_like(item0["events"][0])
+    im_zero = np.zeros_like(item0["image"][0])
+    h, w = item0["image"].shape[1], item0["image"].shape[2]
+    engine = BatchedStreamingInference(params, cfg, n_lanes, h, w, arch)
+
+    for t in range(max_len):
+        ev_list, im_list, resets, metas = [], [], [], []
+        for lane in range(n_lanes):
+            if t < len(lane_items[lane]):
+                gidx, seq_pos = lane_items[lane][t]
+                item, _ = dataset[gidx]
+                metas.append((lane, gidx, seq_pos, item))
+                ev_list.append(item["events"][0])
+                im_list.append(item["image"][0])
+                resets.append(seq_pos == 0)
+            else:
+                ev_list.append(ev_zero)
+                im_list.append(im_zero)
+                resets.append(True)
+        pkg = {"events": np.stack(ev_list), "image": np.stack(im_list)}
+        preds = engine.step(pkg, np.asarray(resets))
+        if on_prediction is not None:
+            preds_np = {k: np.asarray(v) for k, v in preds.items()}
+            for lane, gidx, seq_pos, item in metas:
+                on_prediction(gidx, {k: v[lane] for k, v in preds_np.items()},
+                              item, seq_pos)
+
+
 def optimal_scale(prediction: np.ndarray, target: np.ndarray,
                   reg_factor: float, clip_distance: float) -> float:
     """Metric-space optimal scale accumulation (test.py:365-378)."""

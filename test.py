@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--data_folder", type=str, default="")
     parser.add_argument("--crop", type=str, default="256,512",
                         help="center-crop H,W (reference: 256,512)")
+    parser.add_argument("--lanes", type=int, default=1,
+                        help="batched multi-sequence streaming lanes (>1: "
+                             "TPU throughput mode, identical outputs)")
     args = parser.parse_args()
 
     if args.config is None:
@@ -85,17 +88,9 @@ def main():
         writer.set_color_mapper(np.moveaxis(sample["depth_image"][0], -1, 0))
 
     prev_dataset_idx = -1
-    sequence_idx = 0
-    video_keys = None
-    for idx in range(n):
-        item, dataset_idx = dataset[idx]
-        pkg = {"events": item["events"][0], "image": item["image"][0]}
-        if dataset_idx > prev_dataset_idx:
-            h, w = pkg["image"].shape[0], pkg["image"].shape[1]
-            engine.reset(1, h, w)
-            sequence_idx = 0
-        preds = engine.step(pkg)
-
+    def handle(idx, preds, item, sequence_idx):
+        """Per-item output handling (saving gated on sequence_idx > 1,
+        test.py:259; running metrics; metric-space scale)."""
         if writer is not None and sequence_idx > 1:
             for key, img in preds.items():
                 gt = (item["depth_image"][0] if key == "image"
@@ -108,9 +103,7 @@ def main():
             if "semantic_image" in item:
                 writer.write_semantic(idx, "semantic_image",
                                       np.moveaxis(item["semantic_image"][0], -1, 0))
-            if video_keys is None:
-                video_keys = list(preds.keys())
-            for key in video_keys:
+            for key in preds.keys():
                 inp = (item["image"][0] if key == "image"
                        else item["events"][0, int(key[len("events"):])])
                 gt = (item["depth_image"][0] if key == "image"
@@ -128,8 +121,25 @@ def main():
             scales[idx] = optimal_scale(img[..., 0], gt[..., 0],
                                         reg_factor, clip_distance)
 
-        sequence_idx += 1
-        prev_dataset_idx = dataset_idx
+    if args.lanes > 1:
+        # lane-batched multi-sequence streaming: identical per-sequence
+        # outputs at n_lanes x the throughput
+        from rpg_ramnet_tpu.eval.inference import run_batched_streaming
+        run_batched_streaming(dataset, params, cfg.model, cfg.arch,
+                              n_lanes=args.lanes, on_prediction=handle)
+    else:
+        sequence_idx = 0
+        for idx in range(n):
+            item, dataset_idx = dataset[idx]
+            pkg = {"events": item["events"][0], "image": item["image"][0]}
+            if dataset_idx > prev_dataset_idx:
+                h, w = pkg["image"].shape[0], pkg["image"].shape[1]
+                engine.reset(1, h, w)
+                sequence_idx = 0
+            preds = engine.step(pkg)
+            handle(idx, preds, item, sequence_idx)
+            sequence_idx += 1
+            prev_dataset_idx = dataset_idx
 
     print("total scale: ", np.mean(scales))
     print("min scale: ", np.min(scales))

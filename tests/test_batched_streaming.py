@@ -1,0 +1,61 @@
+"""Lane-batched streaming inference must produce exactly the single-lane
+(reference test.py) outputs at higher throughput."""
+import numpy as np
+import pytest
+
+import jax
+
+from rpg_ramnet_tpu.core.config import Config, ModelConfig
+from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+from rpg_ramnet_tpu.data import concatenate_subfolders, CenterCrop
+from rpg_ramnet_tpu.data.synthetic import generate_split
+from rpg_ramnet_tpu.eval.inference import (StreamingInference,
+                                           run_batched_streaming)
+
+from test_train import tiny_config
+
+
+@pytest.fixture(scope="module")
+def test_split(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bstream") / "test"
+    generate_split(str(root), n_sequences=3, n_frames=18, height=32, width=32,
+                   events_per_frame=400)
+    return str(root)
+
+
+def test_batched_equals_single_lane(test_split):
+    cfg = tiny_config(every_x_rgb_frame=3)
+    mcfg = cfg.model
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+
+    dataset = concatenate_subfolders(
+        test_split, "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+        "depth/data", "rgb/data", sequence_length=1, step_size=1,
+        clip_distance=80.0, every_x_rgb_frame=3, reg_factor=3.70378,
+        transform=CenterCrop(32))
+
+    # single lane (reference semantics)
+    single = {}
+    engine = StreamingInference(params, mcfg)
+    prev_d = -1
+    for idx in range(len(dataset)):
+        item, d = dataset[idx]
+        if d != prev_d:
+            engine.reset(1, 32, 32)
+            prev_d = d
+        preds = engine.step({"events": item["events"][0],
+                             "image": item["image"][0]})
+        single[idx] = preds["image"]
+
+    # 2 lanes, 3 sequences (uneven: lane0 gets 2 sequences)
+    batched = {}
+    run_batched_streaming(
+        dataset, params, mcfg, n_lanes=2,
+        on_prediction=lambda gidx, preds, item, seq_pos: batched.__setitem__(
+            gidx, preds["image"]))
+
+    assert set(batched) == set(single)
+    for idx in single:
+        np.testing.assert_allclose(batched[idx], single[idx],
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"idx={idx}")
