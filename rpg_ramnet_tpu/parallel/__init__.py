@@ -2,8 +2,14 @@ from .mesh import (
     make_mesh, batch_sharding, replicated, shard_batch, replicate,
     DATA_AXIS, MODEL_AXIS,
 )
+from .input_pipeline import (
+    shard_sequence_folders, per_host_batch_size, make_global_batch,
+    sharded_prefetch,
+)
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated", "shard_batch", "replicate",
     "DATA_AXIS", "MODEL_AXIS",
+    "shard_sequence_folders", "per_host_batch_size", "make_global_batch",
+    "sharded_prefetch",
 ]
