@@ -142,3 +142,21 @@ class ERGB2Depth:
 
 def get_model(arch: str):
     return MODELS.get(arch)
+
+
+def summary(params, arch: str = "", log=None) -> int:
+    """Trainable-parameter count + per-top-level breakdown
+    (reference BaseModel.summary, base/base_model.py:24-31)."""
+    import numpy as np
+    total = 0
+    lines = [f"Model: {arch}" if arch else "Model"]
+    items = params.items() if isinstance(params, dict) else enumerate(params)
+    for name, sub in items:
+        n = sum(int(np.prod(np.shape(p)))
+                for p in jax.tree_util.tree_leaves(sub))
+        total += n
+        lines.append(f"  {name}: {n:,} params")
+    lines.append(f"Trainable parameters: {total:,}")
+    out = "\n".join(lines)
+    (log or print)(out)
+    return total

@@ -68,6 +68,8 @@ class Trainer:
         key = jax.random.PRNGKey(0)
         params = initial_params if initial_params is not None else \
             self.model.init_params(key, cfg.model)
+        from ..models.model import summary
+        summary(params, cfg.arch, log=self.logger.info)
         self.optimizer = make_optimizer(cfg)
         opt_state = self.optimizer.init(params)
         if self.mesh is not None:
@@ -115,6 +117,7 @@ class Trainer:
             if train:
                 self.params, self.opt_state, aux = self.train_step(
                     self.params, self.opt_state, batch)
+                self._last_batch = batch
             else:
                 aux = self.eval_step(self.params, batch)
             for k, v in aux.items():
@@ -168,6 +171,32 @@ class Trainer:
                 self.tb.add_image(f"{tag_prefix}{p_i}_{key}__input_pred_gt",
                                   grid[None], epoch)
 
+    def _write_histograms(self, epoch: int):
+        """Per-epoch weight/grad histograms + gradient-flow figure
+        (reference lstm_trainer.py:505-548, training_utils.py:85-124)."""
+        if self.tb is None or not hasattr(self, "_last_batch"):
+            return
+        from ..utils.training_utils import _flatten_with_names, plot_grad_flow_bars
+        from .sequence_loss import make_sequence_loss
+        if not hasattr(self, "_grad_fn"):
+            loss_fn = make_sequence_loss(self.cfg)
+            mcfg = self.cfg.model
+
+            def grads_of(params, batch):
+                b, h, w = (batch["image"].shape[0], batch["image"].shape[2],
+                           batch["image"].shape[3])
+                state0 = self.model.init_state(mcfg, b, h, w)
+                return jax.grad(lambda p: loss_fn(p, state0, batch)[0])(params)
+
+            self._grad_fn = jax.jit(grads_of)
+        grads = jax.device_get(self._grad_fn(self.params, self._last_batch))
+        for name, w in _flatten_with_names(jax.device_get(self.params)).items():
+            self.tb.add_histogram(name + "/weights", np.asarray(w), epoch)
+        for name, g in _flatten_with_names(grads).items():
+            self.tb.add_histogram(name + "/grad", np.asarray(g), epoch)
+        self.tb.add_figure("grad_figure", plot_grad_flow_bars(grads),
+                           global_step=epoch)
+
     def train(self) -> Dict[str, Any]:
         cfg = self.cfg
         final_log: Dict[str, Any] = {}
@@ -195,6 +224,7 @@ class Trainer:
                             self._write_previews(epoch, "val_preview_",
                                                  self.valid_loader,
                                                  cfg.trainer.num_val_previews)
+                    self._write_histograms(epoch)
                 except Exception as e:
                     self.logger.warning("preview writing failed: %s", e)
 

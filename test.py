@@ -73,6 +73,8 @@ def main():
 
     params, _ = load_any(args.path_to_model)
     print(f"Loading model weights from: {args.path_to_model}")
+    from rpg_ramnet_tpu.models.model import summary
+    summary(params, cfg.arch)
 
     engine = StreamingInference(params, cfg.model, cfg.arch)
     writer = DepthOutputWriter(args.output_path) if args.output_path else None
