@@ -41,7 +41,7 @@ def _per_iter_seconds(run_n, args_lo, args_hi, n_lo, n_hi, repeats=3):
     return (hi - lo) / (n_hi - n_lo)
 
 
-def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12):
+def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32"):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -53,7 +53,7 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12):
         "recurrent_block_type": "conv", "state_combination": "convgru",
         "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
         "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
-        "baseline": False})
+        "baseline": False, "compute_dtype": dtype})
     K = mcfg.every_x_rgb_frame
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
     state0 = ERGB2DepthRecurrent.init_state(mcfg, lanes, H, W)
@@ -170,6 +170,11 @@ def main():
             details["jax_fps_8lane_throughput"] = bench_jax_fps(lanes=8, n_hi=8)
         except Exception as e:  # memory-constrained fallbacks
             details["jax_fps_8lane_throughput_error"] = str(e)
+        try:
+            details["jax_fps_single_stream_bf16"] = bench_jax_fps(
+                lanes=1, dtype="bfloat16")
+        except Exception as e:
+            details["jax_fps_single_stream_bf16_error"] = str(e)
         try:
             torch_fps = bench_torch_reference_fps()
             details["torch_cpu_reference_fps"] = torch_fps

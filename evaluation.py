@@ -41,6 +41,7 @@ def main():
         target_offset=args.target_offset,
         down_scale_factor=args.down_scale_factor,
         rescale=args.rescale,
+        output_folder=args.output_folder,
     )
     for k, v in metrics.items():
         print("%s : %f" % (k, v))

@@ -62,15 +62,48 @@ def rescale_by_the_median(target: np.ndarray, prediction: np.ndarray):
     return target, prediction
 
 
+def save_high_contrast_colormap(idx: int, target: np.ndarray,
+                                prediction: np.ndarray, folder: str,
+                                prefix: str = "", colormap: str = "tab20c"):
+    """Per-frame target/prediction colormap figure (evaluation.py:156-180),
+    written to `folder` as frame_%010d.png."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import os
+    os.makedirs(folder, exist_ok=True)
+    finite = target[~np.isnan(target)]
+    uniq = sorted(set(finite.ravel().tolist()))
+    second_largest = uniq[-2] if len(uniq) > 1 else (uniq[-1] if uniq else 1.0)
+    fig, ax = plt.subplots(ncols=1, nrows=2)
+    tgt = np.flip(np.fliplr(np.clip(target, 0, np.nanmax(target))))
+    pcm = ax[0].pcolormesh(tgt, cmap=colormap, vmin=np.nanmin(target),
+                           vmax=second_largest)
+    ax[0].set_xticklabels([])
+    ax[0].set_title("Target")
+    fig.colorbar(pcm, ax=ax[0], extend="both", orientation="vertical")
+    prd = np.flip(np.fliplr(np.clip(prediction, 0, np.nanmax(prediction))))
+    pcm = ax[1].pcolormesh(prd, cmap=colormap, vmin=np.nanmin(target),
+                           vmax=second_largest)
+    ax[1].set_title("Prediction")
+    fig.colorbar(pcm, ax=ax[1], extend="both", orientation="vertical")
+    fig.savefig(os.path.join(folder, f"frame_{idx:010d}.png"))
+    plt.close(fig)
+
+
 def add_to_metrics(metrics: Dict[str, float], target_: np.ndarray,
                    prediction_: np.ndarray, mask: np.ndarray,
-                   prefix: str = "_", rescale: bool = False) -> Dict[str, float]:
+                   prefix: str = "_", rescale: bool = False,
+                   idx: int = -1, output_folder: Optional[str] = None) -> Dict[str, float]:
     """Accumulate one frame's masked metrics (evaluation.py:201-244)."""
     if len(metrics) == 0:
         metrics.update({k: 0.0 for k in metrics_keywords(prefix="_")})
-        for d in []:
-            pass
     eps = 1e-5
+    if output_folder is not None and idx >= 0:
+        fill = np.nanmax(target_)
+        save_high_contrast_colormap(idx, np.where(mask, target_, fill),
+                                    np.where(mask, prediction_, fill),
+                                    output_folder, prefix=prefix)
     target = target_[mask]
     prediction = prediction_[mask]
     if rescale:
@@ -103,6 +136,7 @@ def evaluate_directories(target_dataset: str, predictions_dataset: str,
                          crop_ymax: int = 260, event_masks: str = "",
                          prediction_offset: int = 0, target_offset: int = 0,
                          down_scale_factor: float = 1.0, rescale: bool = False,
+                         output_folder: Optional[str] = None,
                          ) -> Dict[str, float]:
     """The evaluation.py __main__ loop (evaluation.py:295-397) as a library
     function.  Returns averaged metrics."""
@@ -131,7 +165,8 @@ def evaluate_directories(target_dataset: str, predictions_dataset: str,
 
         depth_mask = np.ones_like(target_depth) > 0
         metrics = add_to_metrics(metrics, target_depth, predicted_depth,
-                                 depth_mask, prefix="_", rescale=rescale)
+                                 depth_mask, prefix="_", rescale=rescale,
+                                 idx=idx, output_folder=output_folder)
         metrics2.append(eval_metrics(predicted_depth[None, None],
                                      target_depth[None, None]))
         for d in DEPTH_VALUES:

@@ -121,12 +121,20 @@ def _activation_fn(name: Optional[str]):
 
 def conv_layer_init(key, in_ch, out_ch, kernel_size, norm=None, dtype=jnp.float32):
     kh = kw = kernel_size
+    # torch: Conv2d bias is disabled under BN (submodules.py:13)
     w, b = _torch_conv_init(key, kh, kw, in_ch, out_ch, dtype)
-    p = {"conv2d": {"weight": w, "bias": b}}
-    if norm in ("BN", "IN"):
+    p = {"conv2d": {"weight": w} if norm == "BN" else {"weight": w, "bias": b}}
+    if norm == "BN":
+        # BatchNorm2d: affine + tracked stats
         p["norm_layer"] = {
             "weight": jnp.ones((out_ch,), dtype),
             "bias": jnp.zeros((out_ch,), dtype),
+            "running_mean": jnp.zeros((out_ch,), dtype),
+            "running_var": jnp.ones((out_ch,), dtype),
+        }
+    elif norm == "IN":
+        # InstanceNorm2d(track_running_stats=True): affine=False (torch default)
+        p["norm_layer"] = {
             "running_mean": jnp.zeros((out_ch,), dtype),
             "running_var": jnp.ones((out_ch,), dtype),
         }
@@ -134,23 +142,24 @@ def conv_layer_init(key, in_ch, out_ch, kernel_size, norm=None, dtype=jnp.float3
 
 
 def _apply_norm(p, x, norm, eps=1e-5):
-    """Inference-mode BN / IN with tracked stats (reference uses
-    track_running_stats=True for IN as well, submodules.py:24)."""
+    """Inference-mode BN / IN with tracked running stats (reference eval
+    semantics: BatchNorm2d affine, InstanceNorm2d(track_running_stats=True)
+    non-affine, submodules.py:21-24).  Training-mode batch-stat updates are
+    a mutable-state concern handled at the trainer level; the shipped
+    configs use norm='none'."""
     if norm == "BN":
         nl = p["norm_layer"]
         inv = lax.rsqrt(nl["running_var"] + eps)
         return (x - nl["running_mean"]) * inv * nl["weight"] + nl["bias"]
     if norm == "IN":
         nl = p["norm_layer"]
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = (x - mean) * lax.rsqrt(var + eps)
-        return y * nl["weight"] + nl["bias"]
+        inv = lax.rsqrt(nl["running_var"] + eps)
+        return (x - nl["running_mean"]) * inv
     return x
 
 
 def conv_layer_apply(p, x, stride=1, padding=0, activation="relu", norm=None):
-    out = conv2d(x, p["conv2d"]["weight"], p["conv2d"]["bias"], stride, padding)
+    out = conv2d(x, p["conv2d"]["weight"], p["conv2d"].get("bias"), stride, padding)
     out = _apply_norm(p, out, norm)
     return _activation_fn(activation)(out)
 
@@ -165,7 +174,8 @@ def upsample_conv_layer_init(key, in_ch, out_ch, kernel_size, norm=None, dtype=j
 
 
 def upsample_conv_layer_apply(p, x, padding=2, activation="relu", norm=None):
-    out = conv2d(upsample2x_bilinear(x), p["conv2d"]["weight"], p["conv2d"]["bias"], 1, padding)
+    out = conv2d(upsample2x_bilinear(x), p["conv2d"]["weight"],
+                 p["conv2d"].get("bias"), 1, padding)
     out = _apply_norm(p, out, norm)
     return _activation_fn(activation)(out)
 
@@ -179,18 +189,24 @@ def transposed_conv_layer_init(key, in_ch, out_ch, kernel_size, norm=None, dtype
     k_w, k_b = jax.random.split(key)
     w = jax.random.uniform(k_w, (kh, kw, in_ch, out_ch), dtype, -bound, bound)
     b = jax.random.uniform(k_b, (out_ch,), dtype, -bound, bound)
-    p = {"transposed_conv2d": {"weight": w, "bias": b}}
-    if norm in ("BN", "IN"):
+    p = ({"transposed_conv2d": {"weight": w}} if norm == "BN"
+         else {"transposed_conv2d": {"weight": w, "bias": b}})
+    if norm == "BN":
         p["norm_layer"] = {
             "weight": jnp.ones((out_ch,), dtype), "bias": jnp.zeros((out_ch,), dtype),
             "running_mean": jnp.zeros((out_ch,), dtype), "running_var": jnp.ones((out_ch,), dtype),
+        }
+    elif norm == "IN":
+        p["norm_layer"] = {
+            "running_mean": jnp.zeros((out_ch,), dtype),
+            "running_var": jnp.ones((out_ch,), dtype),
         }
     return p
 
 
 def transposed_conv_layer_apply(p, x, padding=2, activation="relu", norm=None):
     out = conv2d_transpose(x, p["transposed_conv2d"]["weight"],
-                           p["transposed_conv2d"]["bias"], 2, padding, 1)
+                           p["transposed_conv2d"].get("bias"), 2, padding, 1)
     out = _apply_norm(p, out, norm)
     return _activation_fn(activation)(out)
 
@@ -204,23 +220,37 @@ def residual_block_init(key, in_ch, out_ch, norm=None, dtype=jnp.float32):
     k1, k2 = jax.random.split(key)
     w1, b1 = _torch_conv_init(k1, 3, 3, in_ch, out_ch, dtype)
     w2, b2 = _torch_conv_init(k2, 3, 3, out_ch, out_ch, dtype)
-    p = {"conv1": {"weight": w1, "bias": b1}, "conv2": {"weight": w2, "bias": b2}}
-    if norm in ("BN", "IN"):
+    if norm == "BN":
+        p = {"conv1": {"weight": w1}, "conv2": {"weight": w2}}
+    else:
+        p = {"conv1": {"weight": w1, "bias": b1},
+             "conv2": {"weight": w2, "bias": b2}}
+    if norm == "BN":
         for n in ("bn1", "bn2"):
             p[n] = {"weight": jnp.ones((out_ch,), dtype), "bias": jnp.zeros((out_ch,), dtype),
                     "running_mean": jnp.zeros((out_ch,), dtype), "running_var": jnp.ones((out_ch,), dtype)}
+    elif norm == "IN":
+        # reference ResidualBlock uses InstanceNorm2d WITHOUT running stats
+        # (submodules.py:193-194) -> per-instance stats, non-affine
+        pass
     return p
 
 
-def residual_block_apply(p, x, norm=None):
+def residual_block_apply(p, x, norm=None, eps=1e-5):
     residual = x
-    out = conv2d(x, p["conv1"]["weight"], p["conv1"]["bias"], 1, 1)
-    if norm in ("BN", "IN"):
+    out = conv2d(x, p["conv1"]["weight"], p["conv1"].get("bias"), 1, 1)
+    if norm == "BN":
         out = _apply_norm({"norm_layer": p["bn1"]}, out, norm)
+    elif norm == "IN":
+        out = (out - jnp.mean(out, (1, 2), keepdims=True)) * lax.rsqrt(
+            jnp.var(out, (1, 2), keepdims=True) + eps)
     out = jax.nn.relu(out)
-    out = conv2d(out, p["conv2"]["weight"], p["conv2"]["bias"], 1, 1)
-    if norm in ("BN", "IN"):
+    out = conv2d(out, p["conv2"]["weight"], p["conv2"].get("bias"), 1, 1)
+    if norm == "BN":
         out = _apply_norm({"norm_layer": p["bn2"]}, out, norm)
+    elif norm == "IN":
+        out = (out - jnp.mean(out, (1, 2), keepdims=True)) * lax.rsqrt(
+            jnp.var(out, (1, 2), keepdims=True) + eps)
     return jax.nn.relu(out + residual)
 
 
