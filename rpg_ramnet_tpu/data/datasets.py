@@ -426,12 +426,13 @@ class SynchronizedFramesEventsRawDataset:
             gray = _apply_transform((g / 255.0)[..., None], self.transform, seed)
 
         h, w = depth.shape[0], depth.shape[1]
-        # voxelize at the native sensor resolution, then transform
+        # voxelize at the native sensor resolution (C++ host kernel when
+        # available), then transform
         h0, w0 = self._sensor_size()
-        grid = events_to_voxel_grid_np(events_raw.astype(np.float64),
-                                       self.num_bins, h0, w0)
-        if self.normalize:
-            grid = normalize_voxel_grid_np(grid)
+        from ..ops.voxel import events_to_voxel_grid_host
+        grid = events_to_voxel_grid_host(events_raw.astype(np.float32),
+                                         self.num_bins, h0, w0,
+                                         normalize=self.normalize)
         grid = _apply_transform(np.moveaxis(grid, 0, -1), self.transform, seed)
 
         item = {

@@ -34,6 +34,17 @@ def last_element_less_than(values: np.ndarray, req: float) -> Tuple[int, Optiona
     return i, val
 
 
+def closest_element_to(values: np.ndarray, req: float) -> Tuple[int, float, float]:
+    """(i, values[i], |values[i]-req|) for the closest element
+    (util.py:39-54)."""
+    assert len(values) > 0
+    i = int(np.searchsorted(values, req, side="left"))
+    if i > 0 and (i == len(values) or
+                  abs(req - values[i - 1]) < abs(req - values[i])):
+        i -= 1
+    return i, float(values[i]), float(abs(values[i] - req))
+
+
 def is_mvsec_folder(base_folder: str) -> bool:
     """The reference gates MVSEC code paths on the folder name
     (event_dataset.py:28-31)."""

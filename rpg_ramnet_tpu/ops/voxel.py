@@ -70,6 +70,23 @@ def events_to_voxel_grid_np(events: np.ndarray, num_bins: int, height: int,
     return grid.reshape(num_bins, height, width)
 
 
+def events_to_voxel_grid_host(events: np.ndarray, num_bins: int, height: int,
+                              width: int, normalize: bool = False) -> np.ndarray:
+    """Host voxelizer dispatcher: native C++ kernel when available
+    (rpg_ramnet_tpu/native), numpy fallback.  Identical semantics."""
+    try:
+        from ..native import voxelize_native
+        out = voxelize_native(events, num_bins, height, width, normalize)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    grid = events_to_voxel_grid_np(events, num_bins, height, width)
+    if normalize:
+        grid = normalize_voxel_grid_np(grid)
+    return grid
+
+
 def normalize_voxel_grid_np(grid: np.ndarray) -> np.ndarray:
     """Nonzero mean/std normalization (event_dataset.py:144-151)."""
     mask = grid != 0
