@@ -68,7 +68,14 @@ def generate_eventscape_sequence(root: str, n_frames: int = 40, height: int = 64
         sem_dir = join(root, "semantic/data")
     for d in (ev_dir, raw_dir, depth_dir, rgb_dir, sem_dir):
         os.makedirs(d, exist_ok=True)
-        _write_timestamps(d, stamps)
+        if mvsec and d in (depth_dir, rgb_dir):
+            # MVSEC layout: the reference drops the FIRST depth stamp
+            # (dataset.py:208-209) and the LAST event tensor
+            # (event_dataset.py:79-80); a leading dummy stamp line makes
+            # trimmed stamp j align with file index j, as in real MVSEC
+            _write_timestamps(d, np.concatenate([[stamps[0] - dt], stamps]))
+        else:
+            _write_timestamps(d, stamps)
 
     for i in range(n_frames):
         depth, gray = _scene(i, height, width, rng)

@@ -27,19 +27,36 @@ def _tree_np(tree):
 
 
 class CheckpointManager:
-    def __init__(self, run_dir: str):
+    def __init__(self, run_dir: str, use_async: bool = False):
+        """use_async: save the pytree with Orbax's AsyncCheckpointer so the
+        training loop resumes while the write is in flight (preemption-
+        resilience on TPU VMs; SURVEY.md §5 failure-detection equivalent).
+        Saves are finalized with wait_until_finished() on the next save or
+        close()."""
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
         import orbax.checkpoint as ocp
-        self._ckptr = ocp.PyTreeCheckpointer()
+        self._use_async = use_async
+        if use_async:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        else:
+            self._ckptr = ocp.PyTreeCheckpointer()
 
     def _path(self, name: str) -> str:
         return join(self.run_dir, name)
+
+    def wait(self):
+        if self._use_async:
+            self._ckptr.wait_until_finished()
+
+    def close(self):
+        self.wait()
 
     def save(self, name: str, params, opt_state, *, epoch: int,
              monitor_best: float, config: Dict[str, Any],
              logger: Optional[Dict[str, Any]] = None) -> str:
         path = self._path(name)
+        self.wait()  # previous async save must land before reusing dirs
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckptr.save(join(path, "tree"),

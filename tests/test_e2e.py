@@ -140,6 +140,42 @@ def test_pth_tar_export_loads_into_reference(tmp_path):
         params, params2)
 
 
+@pytest.mark.slow
+def test_mvsec_inference_cli(workspace, tmp_path):
+    """BASELINE config 3 analog: streaming inference over MVSEC-format data
+    (event_tensor_/depth_/frame_ naming, stamp quirks) through test.py."""
+    from rpg_ramnet_tpu.data.synthetic import generate_eventscape_sequence
+    ws = workspace
+    mv_root = tmp_path / "datasets" / "mvsec_test"
+    generate_eventscape_sequence(str(mv_root / "mvsec_outdoor_day1"),
+                                 n_frames=20, height=48, width=64,
+                                 events_per_frame=400, mvsec=True)
+    cfg_dict = tiny_config_dict(str(tmp_path), name="mvsec_run")
+    for split in ("train", "validation"):
+        cfg_dict["data_loader"][split]["every_x_rgb_frame"] = 1
+    cfg_dict["model"]["num_bins_events"] = 5
+    cfg = Config.from_dict(cfg_dict)
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg.model)
+    run_dir = tmp_path / "run"
+    opt = make_optimizer(cfg)
+    CheckpointManager(str(run_dir)).save(
+        "model_best", params, opt.init(params), epoch=0, monitor_best=0.0,
+        config=cfg_dict)
+    with open(run_dir / "config.json", "w") as f:
+        json.dump(cfg_dict, f)
+
+    out_dir = str(tmp_path / "mvsec_out")
+    run([sys.executable, "test.py",
+         "--path_to_model", str(run_dir / "model_best"),
+         "--config", str(run_dir / "config.json"),
+         "--output_path", out_dir,
+         "--data_folder", "mvsec_test",
+         "--crop", "32,32"],
+        env_extra={"PREPROCESSED_DATASETS_FOLDER": str(tmp_path / "datasets")})
+    preds = os.listdir(join(out_dir, "npy", "image"))
+    assert len(preds) >= 2
+
+
 def test_depth_stream_cli(tmp_path):
     """Live streaming demo: raw event log -> voxelize -> recurrent model."""
     cfg_dict = tiny_config_dict(str(tmp_path))
