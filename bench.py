@@ -83,6 +83,72 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32"):
     return lanes * depth_maps_per_package / sec
 
 
+def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4):
+    """Full TBPTT training-step throughput (the reference recipe: batch 8,
+    sequence 10, 224x224 random crops, SI + multi-scale-grad loss) in
+    sequences/sec.  Loop-in-jit timing like the fps bench."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import optax
+    from rpg_ramnet_tpu.core.config import Config
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+    from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+    from rpg_ramnet_tpu.train.optim import make_optimizer
+
+    cfg = Config.from_dict({
+        "arch": "ERGB2DepthRecurrent", "use_phased_arch": False,
+        "data_loader": {"train": {"every_x_rgb_frame": 5, "baseline": False,
+                                  "clip_distance": 80.0, "reg_factor": 3.70378},
+                        "batch_size": B},
+        "optimizer_type": "Adam", "optimizer": {"lr": 3e-4, "weight_decay": 0},
+        "loss": {"type": "scale_invariant_loss",
+                 "config": {"weight": 1.0, "n_lambda": 1.0}},
+        "grad_loss": {"weight": 0.25},
+        "trainer": {"epochs": 1, "sequence_length": L,
+                    "loss_composition": ["image", "events4"],
+                    "loss_weights": [1, 1]},
+        "model": {"num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
+                  "recurrent_block_type": "conv", "state_combination": "convgru",
+                  "num_encoders": 3, "base_num_channels": 32,
+                  "num_residual_blocks": 2, "use_upsample_conv": True,
+                  "norm": "none"},
+    })
+    mcfg = cfg.model
+    K = mcfg.every_x_rgb_frame
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    loss_fn = make_sequence_loss(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "events": jnp.asarray(rng.randn(B, L, K, H, W, 5).astype(np.float32)),
+        "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+        "depth_events": jnp.asarray(rng.rand(B, L, K, H, W, 1).astype(np.float32)),
+        "depth_image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+    }
+
+    @jax.jit
+    def run_n(params, opt_state, batch, n):
+        def body(i, carry):
+            p, s = carry
+            eps = (i + 1).astype(jnp.float32) * 1e-9
+            b = dict(batch)
+            b["events"] = batch["events"] + eps
+            state0 = ERGB2DepthRecurrent.init_state(mcfg, B, H, W)
+            grads = jax.grad(lambda pp: loss_fn(pp, state0, b)[0])(p)
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s)
+        p, s = lax.fori_loop(0, n, body, (params, opt_state))
+        return sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(p))
+
+    sec = _per_iter_seconds(run_n, (params, opt_state, batch, n_lo),
+                            (params, opt_state, batch, n_hi), n_lo, n_hi,
+                            repeats=2)
+    return B / sec  # sequences (TBPTT windows) per second
+
+
 def bench_torch_reference_fps(H=256, W=512, iters=3):
     """Reference PyTorch model on this host's CPU, same shapes/semantics."""
     import torch
@@ -195,6 +261,10 @@ def main():
             details["voxelizer"] = bench_voxelizer()
         except Exception as e:
             details["voxelizer_error"] = str(e)
+        try:
+            details["train_seq_per_sec_B8_L10_224"] = bench_train_step()
+        except Exception as e:
+            details["train_step_error"] = str(e)
 
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)

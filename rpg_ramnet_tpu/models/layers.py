@@ -410,6 +410,64 @@ def phased_conv_lstm_apply(p, x, times, state, padding=1):
                  _unflatten_torch_order(c_new, h, w, ch))
 
 
+def downsample_recurrent_conv_layer_init(key, in_ch, out_ch, kernel_size=3,
+                                         recurrent_block_type="convlstm",
+                                         dtype=jnp.float32):
+    """DownsampleRecurrentConvLayer (submodules.py:160-178): recurrent block
+    then bilinear 0.5x downsample + activation."""
+    if recurrent_block_type == "convlstm":
+        blk = conv_lstm_init(key, in_ch, out_ch, kernel_size, dtype)
+    else:
+        blk = conv_gru_init(key, in_ch, out_ch, kernel_size, dtype)
+    return {"recurrent_block": blk}
+
+
+def downsample_half_bilinear(x):
+    """torch f.interpolate(scale_factor=0.5, bilinear, align_corners=False)
+    WITHOUT antialiasing: output (j+0.5)*2-0.5 = 2j+0.5 samples reduce to an
+    exact 2x2 average (jax.image.resize would antialias instead)."""
+    n, h, w, c = x.shape
+    hh, ww = h // 2, w // 2
+    return x[:, :hh * 2, :ww * 2, :].reshape(n, hh, 2, ww, 2, c).mean(axis=(2, 4))
+
+
+def downsample_recurrent_conv_layer_apply(p, x, prev_state,
+                                          recurrent_block_type="convlstm",
+                                          activation="relu", padding=1):
+    if recurrent_block_type == "convlstm":
+        state = conv_lstm_apply(p["recurrent_block"], x, prev_state, padding)
+        y = state[0]
+    else:
+        state = conv_gru_apply(p["recurrent_block"], x, prev_state, padding)
+        y = state
+    y = downsample_half_bilinear(y)
+    return _activation_fn(activation)(y), state
+
+
+def recurrent_residual_layer_init(key, in_ch, out_ch,
+                                  recurrent_block_type="convlstm",
+                                  norm=None, dtype=jnp.float32):
+    """RecurrentResidualLayer (submodules.py:457-480): residual block then
+    recurrent block."""
+    k1, k2 = jax.random.split(key)
+    p = {"conv": residual_block_init(k1, in_ch, out_ch, norm, dtype)}
+    if recurrent_block_type == "convlstm":
+        p["recurrent_block"] = conv_lstm_init(k2, out_ch, out_ch, 3, dtype)
+    else:
+        p["recurrent_block"] = conv_gru_init(k2, out_ch, out_ch, 3, dtype)
+    return p
+
+
+def recurrent_residual_layer_apply(p, x, prev_state,
+                                   recurrent_block_type="convlstm", norm=None):
+    x = residual_block_apply(p["conv"], x, norm)
+    if recurrent_block_type == "convlstm":
+        state = conv_lstm_apply(p["recurrent_block"], x, prev_state)
+        return state[0], state
+    state = conv_gru_apply(p["recurrent_block"], x, prev_state)
+    return state, state
+
+
 def recurrent_phased_conv_layer_init(key, in_ch, out_ch, height, width,
                                      kernel_size=3, norm=None, dtype=jnp.float32):
     """RecurrentPhasedConvLayer (submodules.py:145-157): strided conv

@@ -96,6 +96,58 @@ def test_conv_lstm_matches_reference():
     np.testing.assert_allclose(np.asarray(our_c), nhwc(th_c), atol=1e-5, rtol=1e-5)
 
 
+def test_downsample_recurrent_conv_layer_matches_reference():
+    from reference_loader import reference_modules
+    _, sub, _ = reference_modules()
+    torch.manual_seed(30)
+    layer = sub.DownsampleRecurrentConvLayer(6, 6, kernel_size=3,
+                                             recurrent_block_type="convgru")
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 12, 16, 6).astype(np.float32)
+    h = rng.randn(2, 12, 16, 6).astype(np.float32)
+    with torch.no_grad():
+        th_y, th_state = layer(nchw(x), nchw(h))
+    p = {"recurrent_block": {
+        name: {"weight": jnp.asarray(np.transpose(
+                   getattr(layer.recurrent_block, name).weight.detach().numpy(), (2, 3, 1, 0))),
+               "bias": jnp.asarray(getattr(layer.recurrent_block, name).bias.detach().numpy())}
+        for name in ("reset_gate", "update_gate", "out_gate")}}
+    our_y, our_state = L.downsample_recurrent_conv_layer_apply(
+        p, jnp.asarray(x), jnp.asarray(h), "convgru")
+    np.testing.assert_allclose(np.asarray(our_y), nhwc(th_y), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(our_state), nhwc(th_state), atol=1e-5, rtol=1e-4)
+
+
+def test_recurrent_residual_layer_matches_reference():
+    from reference_loader import reference_modules
+    _, sub, _ = reference_modules()
+    torch.manual_seed(31)
+    layer = sub.RecurrentResidualLayer(8, 8, recurrent_block_type="convlstm")
+    layer.eval()
+    rng = np.random.RandomState(8)
+    x = rng.randn(2, 10, 10, 8).astype(np.float32)
+    h = rng.randn(2, 10, 10, 8).astype(np.float32)
+    c = rng.randn(2, 10, 10, 8).astype(np.float32)
+    with torch.no_grad():
+        th_y, (th_h, th_c) = layer(nchw(x), (nchw(h), nchw(c)))
+    p = {
+        "conv": {
+            "conv1": {"weight": jnp.asarray(np.transpose(layer.conv.conv1.weight.detach().numpy(), (2, 3, 1, 0))),
+                      "bias": jnp.asarray(layer.conv.conv1.bias.detach().numpy())},
+            "conv2": {"weight": jnp.asarray(np.transpose(layer.conv.conv2.weight.detach().numpy(), (2, 3, 1, 0))),
+                      "bias": jnp.asarray(layer.conv.conv2.bias.detach().numpy())},
+        },
+        "recurrent_block": {"Gates": {
+            "weight": jnp.asarray(np.transpose(layer.recurrent_block.Gates.weight.detach().numpy(), (2, 3, 1, 0))),
+            "bias": jnp.asarray(layer.recurrent_block.Gates.bias.detach().numpy())}},
+    }
+    our_y, (our_h, our_c) = L.recurrent_residual_layer_apply(
+        p, jnp.asarray(x), (jnp.asarray(h), jnp.asarray(c)), "convlstm")
+    np.testing.assert_allclose(np.asarray(our_y), nhwc(th_y), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(our_h), nhwc(th_h), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(our_c), nhwc(th_c), atol=1e-5, rtol=1e-4)
+
+
 def test_residual_block_matches_reference():
     from reference_loader import reference_modules
     _, sub, _ = reference_modules()
