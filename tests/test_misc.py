@@ -1,0 +1,61 @@
+"""Smaller behaviors: rematerialized TBPTT equality, CropParameters,
+optimal scale, model summary."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+from rpg_ramnet_tpu.eval.inference import CropParameters, optimal_scale
+from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+from rpg_ramnet_tpu.models.model import summary
+
+from test_train import tiny_config, make_batch
+
+
+def test_remat_grads_equal():
+    """jax.checkpoint over the scan step must not change loss or grads
+    (it only trades memory for recompute)."""
+    cfg = tiny_config()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg.model)
+    batch = make_batch(cfg)
+    state0 = ERGB2DepthRecurrent.init_state(cfg.model, 2, 16, 16)
+    loss_plain = make_sequence_loss(cfg, remat=False)
+    loss_remat = make_sequence_loss(cfg, remat=True)
+    (l1, _), g1 = jax.value_and_grad(loss_plain, has_aux=True)(params, state0, batch)
+    (l2, _), g2 = jax.value_and_grad(loss_remat, has_aux=True)(params, state0, batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5, rtol=1e-4), g1, g2)
+
+
+def test_crop_parameters():
+    cp = CropParameters(width=346, height=260, num_encoders=3)
+    assert cp.width_crop % 8 == 0 and cp.height_crop % 8 == 0
+    assert cp.width_crop >= 346 and cp.height_crop >= 260
+    x = np.random.RandomState(0).rand(260, 346, 5).astype(np.float32)
+    padded = cp.pad(x)
+    assert padded.shape == (cp.height_crop, cp.width_crop, 5)
+    back = cp.crop(padded)
+    np.testing.assert_array_equal(back, x)
+    # device path too
+    jp = cp.pad(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(cp.crop(jp)), x)
+
+
+def test_optimal_scale_identity():
+    rng = np.random.RandomState(1)
+    d = rng.rand(32, 32).astype(np.float32) * 0.8 + 0.1
+    s = optimal_scale(d, d, reg_factor=3.70378, clip_distance=80.0)
+    np.testing.assert_allclose(s, 1.0, rtol=1e-5)
+
+
+def test_summary_counts():
+    cfg = tiny_config()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg.model)
+    lines = []
+    n = summary(params, "ERGB2DepthRecurrent", log=lines.append)
+    from rpg_ramnet_tpu.utils import count_parameters
+    assert n == count_parameters(params)
+    assert "Trainable parameters" in lines[0]
