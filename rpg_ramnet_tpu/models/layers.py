@@ -296,8 +296,16 @@ def conv_gru_init(key, input_size, hidden_size, kernel_size=3, dtype=jnp.float32
 
 def conv_gru_apply(p, x, prev_state, padding=1):
     stacked = jnp.concatenate([x, prev_state], axis=-1)
-    update = jax.nn.sigmoid(conv2d(stacked, p["update_gate"]["weight"], p["update_gate"]["bias"], 1, padding))
-    reset = jax.nn.sigmoid(conv2d(stacked, p["reset_gate"]["weight"], p["reset_gate"]["bias"], 1, padding))
+    # update+reset share the same input; one fused conv halves the reads of
+    # [x, h].  The weight concat is loop-invariant under scan (hoisted by
+    # XLA), and the math is identical to two separate convs.
+    w_ur = jnp.concatenate([p["update_gate"]["weight"],
+                            p["reset_gate"]["weight"]], axis=-1)
+    b_ur = jnp.concatenate([p["update_gate"]["bias"],
+                            p["reset_gate"]["bias"]], axis=-1)
+    ur = jax.nn.sigmoid(conv2d(stacked, w_ur, b_ur, 1, padding))
+    hidden = prev_state.shape[-1]
+    update, reset = ur[..., :hidden], ur[..., hidden:]
     stacked_reset = jnp.concatenate([x, prev_state * reset], axis=-1)
     out = jnp.tanh(conv2d(stacked_reset, p["out_gate"]["weight"], p["out_gate"]["bias"], 1, padding))
     return prev_state * (1.0 - update) + out * update
