@@ -119,13 +119,15 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4):
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
     opt = make_optimizer(cfg)
     opt_state = opt.init(params)
-    loss_fn = make_sequence_loss(cfg)
+    loss_fn = make_sequence_loss(cfg, remat=True)
     rng = np.random.RandomState(0)
+    # TPU training layout: channel-first inputs + squeezed depth targets
+    # (see train/sequence_loss.pack_train_batch and PERF.md)
     batch = {
-        "events": jnp.asarray(rng.randn(B, L, K, H, W, 5).astype(np.float32)),
-        "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
-        "depth_events": jnp.asarray(rng.rand(B, L, K, H, W, 1).astype(np.float32)),
-        "depth_image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+        "events_cf": jnp.asarray(rng.randn(B, L, K, 5, H, W).astype(np.float32)),
+        "image_cf": jnp.asarray(rng.rand(B, L, 1, H, W).astype(np.float32)),
+        "depth_events": jnp.asarray(rng.rand(B, L, K, H, W).astype(np.float32)),
+        "depth_image": jnp.asarray(rng.rand(B, L, H, W).astype(np.float32)),
     }
 
     @jax.jit
@@ -134,7 +136,7 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4):
             p, s = carry
             eps = (i + 1).astype(jnp.float32) * 1e-9
             b = dict(batch)
-            b["events"] = batch["events"] + eps
+            b["events_cf"] = batch["events_cf"] + eps
             state0 = ERGB2DepthRecurrent.init_state(mcfg, B, H, W)
             grads = jax.grad(lambda pp: loss_fn(pp, state0, b)[0])(p)
             updates, s = opt.update(grads, s, p)

@@ -146,6 +146,7 @@ class TrainerConfig:
     # TPU extras
     legacy_loss_scaling: bool = False   # replicate reference loss-aliasing scale (x num_keys)
     log_every: int = 25
+    remat: bool = True                  # jax.checkpoint per TBPTT step (activation memory)
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "TrainerConfig":
@@ -169,6 +170,7 @@ class TrainerConfig:
             loss_weights=tuple(d.get("loss_weights", (1.0,))),
             legacy_loss_scaling=bool(d.get("legacy_loss_scaling", False)),
             log_every=int(d.get("log_every", 25)),
+            remat=bool(d.get("remat", True)),
         )
 
 

@@ -68,15 +68,27 @@ class ERGB2DepthRecurrent:
         event_modality = "image" if cfg.is_baseline else "events"
         times_ev = pkg.get("times_events") if cfg.use_phased_arch else None
         times_im = pkg.get("times_image") if cfg.use_phased_arch else None
+        # channel-first sequence storage ('events_cf' [B,K,C,H,W] /
+        # 'image_cf' [B,C,H,W]): tiny channel counts on the lane-minor dim
+        # make XLA pad stacked TBPTT tensors up to 25x on TPU; storing the
+        # time-stacked arrays channel-first and transposing per step keeps
+        # HBM usage at the unpadded size (see PERF.md)
         for k in range(loop):
-            x = pkg["events"][:, k]
+            if "events_cf" in pkg:
+                x = jnp.moveaxis(pkg["events_cf"][:, k], 1, -1)
+            else:
+                x = pkg["events"][:, k]
             t = times_ev[:, k] if times_ev is not None else None
             state = statenet.forward_modality(params, cfg, x, state,
                                               event_modality, times=t)
             key = f"events{k}"
             if decode_keys is None or key in decode_keys:
                 preds[key] = statenet.forward_decoder(params, cfg, state)
-        state = statenet.forward_modality(params, cfg, pkg["image"], state,
+        if "image_cf" in pkg:
+            img = jnp.moveaxis(pkg["image_cf"], 1, -1)
+        else:
+            img = pkg["image"]
+        state = statenet.forward_modality(params, cfg, img, state,
                                           "image", times=times_im)
         if decode_keys is None or "image" in decode_keys:
             preds["image"] = statenet.forward_decoder(params, cfg, state)
@@ -85,25 +97,32 @@ class ERGB2DepthRecurrent:
     @staticmethod
     def forward_sequence(params, cfg: ModelConfig, state, seq,
                          decode_keys: Optional[Sequence[str]] = None,
-                         remat: bool = False):
-        """seq: {'events': [B, L, K, H, W, Ce], 'image': [B, L, H, W, Ci]}.
+                         remat: bool = False, squeeze_preds: bool = False):
+        """seq: {'events': [B, L, K, H, W, Ce], 'image': [B, L, H, W, Ci]}
+        (or the channel-first variants 'events_cf' [B, L, K, Ce, H, W] /
+        'image_cf' [B, L, Ci, H, W] — see forward_package).
         Scans the per-package step over L (the reference's TBPTT inner loop,
         trainer/lstm_trainer.py:256-380).  remat=True wraps the step in
         jax.checkpoint to trade recompute for activation memory (longer L
-        than the reference can fit)."""
+        than the reference can fit).  squeeze_preds=True drops the trailing
+        1-channel dim of the stacked predictions ([L, B, H, W]) so the
+        scan-stacked output is not lane-padded 128x on TPU."""
 
         def step(carry, pkg):
             new_state, preds = ERGB2DepthRecurrent.forward_package(
                 params, cfg, carry, pkg, decode_keys)
+            if squeeze_preds:
+                preds = {k: v[..., 0] for k, v in preds.items()}
             return new_state, preds
 
         if remat:
             step = jax.checkpoint(step)
         # time axis must lead for scan
         seq_t = {k: jnp.moveaxis(v, 1, 0) for k, v in seq.items()
-                 if k in ("events", "image", "times_events", "times_image")}
+                 if k in ("events", "image", "events_cf", "image_cf",
+                          "times_events", "times_image")}
         final_state, preds = jax.lax.scan(step, state, seq_t)
-        # [L, B, H, W, 1] per key -> keep time-leading layout for the loss
+        # [L, B, H, W(, 1)] per key -> keep time-leading layout for the loss
         return final_state, preds
 
 

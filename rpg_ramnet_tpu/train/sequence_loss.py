@@ -36,12 +36,41 @@ def supervised_keys(cfg: Config) -> Tuple[str, ...]:
     return tuple(k for k in all_keys if k in lc)
 
 
+def pack_train_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Host-side repack of an NHWC loader batch into the TPU-friendly
+    training layout: channel-first sequence inputs ('events_cf'
+    [B,L,K,C,H,W], 'image_cf' [B,L,C,H,W]) and squeezed 1-channel depth
+    targets ([B,L,K,H,W] / [B,L,H,W]).
+
+    Why: XLA tiles the two minor dims to (8, 128); stacked TBPTT tensors
+    with 1-5 channels on the minor dim get padded up to 128x in HBM
+    (observed 75 GB for the reference training recipe).  Channel-first
+    storage + per-step transpose keeps arguments at unpadded size."""
+    import numpy as np
+    out = {}
+    for k, v in batch.items():
+        if k == "events" and v.ndim == 6:
+            out["events_cf"] = np.moveaxis(v, -1, 3)
+        elif k == "image" and v.ndim == 5:
+            out["image_cf"] = np.moveaxis(v, -1, 2)
+        elif k in ("depth_events", "depth_image") and v.shape[-1] == 1:
+            out[k] = v[..., 0]
+        else:
+            out[k] = v
+    return out
+
+
 def _target_for(batch: Dict[str, Any], key: str):
-    """Time-leading target [L, B, H, W, 1] for a prediction key."""
+    """Time-leading SQUEEZED target [L, B, H, W] for a prediction key
+    (accepts both [..., 1]-channel and pre-squeezed batches)."""
     if key == "image":
-        return jnp.moveaxis(batch["depth_image"], 1, 0)
-    k = int(key[len("events"):])
-    return jnp.moveaxis(batch["depth_events"][:, :, k], 1, 0)
+        t = batch["depth_image"]
+    else:
+        k = int(key[len("events"):])
+        t = batch["depth_events"][:, :, k]
+    if t.ndim == 5:  # [B, L, H, W, 1]
+        t = t[..., 0]
+    return jnp.moveaxis(t, 1, 0)
 
 
 def make_sequence_loss(cfg: Config, remat: bool = False):
@@ -64,17 +93,26 @@ def make_sequence_loss(cfg: Config, remat: bool = False):
 
     def loss_fn(params, state0, batch):
         seq_in = {k: batch[k] for k in
-                  ("events", "image", "times_events", "times_image")
+                  ("events", "image", "events_cf", "image_cf",
+                   "times_events", "times_image")
                   if k in batch}
         _, preds = model.forward_sequence(params, mcfg, state0, seq_in,
-                                          decode_keys=keys, remat=remat)
-        l_steps = batch["image"].shape[1]
+                                          decode_keys=keys, remat=remat,
+                                          squeeze_preds=True)
+        img = batch["image"] if "image" in batch else batch["image_cf"]
+        l_steps = img.shape[1]
         total_si = 0.0
         total_grad = 0.0
         total_mse = 0.0
         per_key: Dict[str, Any] = {}
+
+        def grad_loss_step(p, t):
+            # multi-scale gradient loss consumes NHWC; expand the squeezed
+            # maps per step (small fused temp, not a stacked buffer)
+            return L.multi_scale_grad_loss(p[..., None], t[..., None])
+
         for k in keys:
-            pred = preds[k]                       # [L, B, H, W, 1]
+            pred = preds[k]                       # [L, B, H, W] (squeezed)
             target = _target_for(batch, k)
             w = weights[k]
 
@@ -84,7 +122,7 @@ def make_sequence_loss(cfg: Config, remat: bool = False):
             per_key[f"L_si_{k}"] = si
 
             if use_grad:
-                g = jnp.sum(jax.vmap(L.multi_scale_grad_loss)(pred, target))
+                g = jnp.sum(jax.vmap(grad_loss_step)(pred, target))
                 g = cfg.grad_loss_weight * w * g / l_steps
                 total_grad = total_grad + g
                 per_key[f"L_grad_{k}"] = g
@@ -92,11 +130,10 @@ def make_sequence_loss(cfg: Config, remat: bool = False):
             if use_mse:
                 f = cfg.mse_loss_downsampling_factor
                 if f != 1.0:
-                    import math
                     hh = int(pred.shape[2] * f)
                     ww = int(pred.shape[3] * f)
-                    pr = jax.image.resize(pred, pred.shape[:2] + (hh, ww, 1), "bilinear")
-                    tr = jax.image.resize(target, target.shape[:2] + (hh, ww, 1), "bilinear")
+                    pr = jax.image.resize(pred, pred.shape[:2] + (hh, ww), "bilinear")
+                    tr = jax.image.resize(target, target.shape[:2] + (hh, ww), "bilinear")
                 else:
                     pr, tr = pred, target
                 m = jnp.sum(jax.vmap(L.mse_loss)(pr, tr))

@@ -22,20 +22,33 @@ from .sequence_loss import make_sequence_loss
 from .optim import make_optimizer
 
 
+def _batch_dims(batch):
+    """(B, H, W) for either NHWC 'image' [B,L,H,W,C] or channel-first
+    'image_cf' [B,L,C,H,W] batches."""
+    if "image_cf" in batch:
+        s = batch["image_cf"].shape
+        return s[0], s[-2], s[-1]
+    s = batch["image"].shape
+    return s[0], s[2], s[3]
+
+
 def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
-                    mesh: Optional[Mesh] = None, remat: bool = False,
+                    mesh: Optional[Mesh] = None, remat: Optional[bool] = None,
                     donate: bool = True):
     """Returns train_step(params, opt_state, batch) -> (params, opt_state, aux).
 
     The zero initial recurrent state per TBPTT window matches the reference
-    (model.py:146-159: states re-zeroed per sequence)."""
+    (model.py:146-159: states re-zeroed per sequence).  remat defaults to
+    cfg.trainer.remat (True: per-step jax.checkpoint — required to fit the
+    reference recipe B=8/L=10/224^2 in one chip's HBM, see PERF.md)."""
+    if remat is None:
+        remat = cfg.trainer.remat
     loss_fn = make_sequence_loss(cfg, remat=remat)
     model = get_model(cfg.arch)
     mcfg = cfg.model
 
     def step(params, opt_state, batch):
-        b, _, h, w = (batch["image"].shape[0], batch["image"].shape[1],
-                      batch["image"].shape[2], batch["image"].shape[3])
+        b, h, w = _batch_dims(batch)
         state0 = model.init_state(mcfg, b, h, w)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, aux), grads = grad_fn(params, state0, batch)
@@ -64,8 +77,7 @@ def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None):
     mcfg = cfg.model
 
     def step(params, batch):
-        b, h, w = (batch["image"].shape[0], batch["image"].shape[2],
-                   batch["image"].shape[3])
+        b, h, w = _batch_dims(batch)
         state0 = model.init_state(mcfg, b, h, w)
         _, aux = loss_fn(params, state0, batch)
         return aux

@@ -113,7 +113,9 @@ class Trainer:
         sums: Dict[str, float] = {}
         count = 0
         t0 = time.time()
-        for i, batch in enumerate(device_prefetch(iter(loader), sharding=sharding)):
+        from .sequence_loss import pack_train_batch
+        packed = (pack_train_batch(b) for b in loader)
+        for i, batch in enumerate(device_prefetch(packed, sharding=sharding)):
             if train:
                 self.params, self.opt_state, aux = self.train_step(
                     self.params, self.opt_state, batch)
@@ -182,9 +184,10 @@ class Trainer:
             loss_fn = make_sequence_loss(self.cfg)
             mcfg = self.cfg.model
 
+            from .train_step import _batch_dims
+
             def grads_of(params, batch):
-                b, h, w = (batch["image"].shape[0], batch["image"].shape[2],
-                           batch["image"].shape[3])
+                b, h, w = _batch_dims(batch)
                 state0 = self.model.init_state(mcfg, b, h, w)
                 return jax.grad(lambda p: loss_fn(p, state0, batch)[0])(params)
 

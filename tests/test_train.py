@@ -156,6 +156,29 @@ def test_dp_mesh_equals_single_device():
         p1, p2)
 
 
+def test_packed_batch_layout_equivalence():
+    """pack_train_batch (channel-first + squeezed targets, the TPU memory
+    layout) must produce identical loss and gradients to the NHWC batch."""
+    from rpg_ramnet_tpu.train.sequence_loss import pack_train_batch
+    cfg = tiny_config()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(4), cfg.model)
+    batch = make_batch(cfg, seed=11)
+    batch_np = {k: np.asarray(v) for k, v in batch.items()}
+    packed = pack_train_batch(batch_np)
+    assert "events_cf" in packed and packed["events_cf"].shape[3] == 5
+    assert packed["depth_image"].ndim == 4
+
+    state0 = ERGB2DepthRecurrent.init_state(cfg.model, 2, 16, 16)
+    loss_fn = make_sequence_loss(cfg)
+    (l1, _), g1 = jax.value_and_grad(loss_fn, has_aux=True)(params, state0, batch)
+    (l2, _), g2 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, state0, {k: jnp.asarray(v) for k, v in packed.items()})
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5, rtol=1e-4), g1, g2)
+
+
 def test_eval_step():
     cfg = tiny_config()
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(3), cfg.model)
