@@ -71,6 +71,19 @@ class TestVoxelizer:
             num_bins=self.NB, height=self.H, width=self.W)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
+    def test_pallas_bf16_factors_close(self):
+        import jax.numpy as jnp
+        ev = random_events(n=2000, height=self.H, width=self.W, seed=6).astype(np.float32)
+        a = ops.events_to_voxel_grid_scatter(
+            jnp.asarray(ev), jnp.int32(ev.shape[0]),
+            num_bins=self.NB, height=self.H, width=self.W)
+        b = ops.events_to_voxel_grid_pallas(
+            jnp.asarray(ev), jnp.int32(ev.shape[0]),
+            num_bins=self.NB, height=self.H, width=self.W,
+            factor_dtype=jnp.bfloat16)
+        # bf16 vals round to ~3 decimal digits per contribution
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.05)
+
     def test_padded_events_ignored(self):
         ev = random_events(n=1000, height=self.H, width=self.W, seed=4).astype(np.float32)
         padded = np.concatenate([ev, np.zeros((500, 4), np.float32)])
