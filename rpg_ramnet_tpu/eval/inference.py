@@ -103,6 +103,45 @@ class StreamingInference:
         return np.asarray(pred[0])
 
 
+class SequenceScanInference:
+    """Whole-sequence inference as one jitted lax.scan per chunk: fewer
+    host->device dispatches than per-package streaming (identical outputs).
+    Chunked so arbitrarily long sequences stream with bounded memory."""
+
+    def __init__(self, params, cfg: ModelConfig, arch: str = "ERGB2DepthRecurrent",
+                 chunk: int = 32):
+        self.params = params
+        self.cfg = cfg
+        self.chunk = chunk
+        self.model = get_model(arch)
+        self._fwd = jax.jit(
+            lambda p, s, seq: self.model.forward_sequence(p, cfg, s, seq))
+
+    def run_sequence(self, events: np.ndarray, image: np.ndarray):
+        """events: [T, K, H, W, C], image: [T, H, W, C] for ONE sequence
+        (fresh zero state).  Returns {key: [T, H, W, 1]} predictions."""
+        t_total = events.shape[0]
+        h, w = image.shape[1], image.shape[2]
+        state = self.model.init_state(self.cfg, 1, h, w)
+        outs: Dict[str, List[np.ndarray]] = {}
+        for t0 in range(0, t_total, self.chunk):
+            ev = events[t0:t0 + self.chunk]
+            im = image[t0:t0 + self.chunk]
+            n = ev.shape[0]
+            if n < self.chunk:
+                # pad the tail chunk to the compiled length; drop padding
+                # after (padded steps only corrupt the post-sequence state,
+                # which is discarded)
+                pad = self.chunk - n
+                ev = np.concatenate([ev, np.zeros((pad,) + ev.shape[1:], ev.dtype)])
+                im = np.concatenate([im, np.zeros((pad,) + im.shape[1:], im.dtype)])
+            seq = {"events": jnp.asarray(ev)[None], "image": jnp.asarray(im)[None]}
+            state, preds = self._fwd(self.params, state, seq)
+            for k, v in preds.items():
+                outs.setdefault(k, []).append(np.asarray(v)[:n, 0])
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+
 class BatchedStreamingInference:
     """Multi-lane streaming: N independent sequences advance in lockstep;
     a per-lane reset mask zeroes the recurrent state at each lane's sequence

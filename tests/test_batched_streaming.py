@@ -59,3 +59,33 @@ def test_batched_equals_single_lane(test_split):
         np.testing.assert_allclose(batched[idx], single[idx],
                                    atol=1e-5, rtol=1e-5,
                                    err_msg=f"idx={idx}")
+
+
+def test_sequence_scan_equals_streaming(test_split):
+    """Whole-sequence lax.scan inference == per-package streaming."""
+    from rpg_ramnet_tpu.eval.inference import SequenceScanInference
+    cfg = tiny_config(every_x_rgb_frame=3)
+    mcfg = cfg.model
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(1), mcfg)
+    dataset = concatenate_subfolders(
+        test_split, "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+        "depth/data", "rgb/data", sequence_length=1, step_size=1,
+        clip_distance=80.0, every_x_rgb_frame=3, reg_factor=3.70378,
+        transform=CenterCrop(32))
+    sub = dataset.datasets[0]
+    items = [sub[i] for i in range(len(sub))]
+    ev = np.stack([it["events"][0] for it in items])
+    im = np.stack([it["image"][0] for it in items])
+
+    engine = StreamingInference(params, mcfg)
+    engine.reset(1, 32, 32)
+    stream_preds = [engine.step({"events": it["events"][0],
+                                 "image": it["image"][0]}) for it in items]
+
+    scan = SequenceScanInference(params, mcfg, chunk=4)  # forces tail pad
+    scan_preds = scan.run_sequence(ev, im)
+    for t, sp in enumerate(stream_preds):
+        for k in sp:
+            np.testing.assert_allclose(scan_preds[k][t], sp[k],
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"t={t} key={k}")
