@@ -56,14 +56,20 @@ def _orthogonal_oihw(key, kh, kw, in_ch, out_ch, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-def conv2d(x, w, b=None, stride: int = 1, padding: int = 0):
-    """NHWC conv with explicit symmetric padding (torch semantics)."""
+def conv2d(x, w, b=None, stride: int = 1, padding: int = 0,
+           input_layout: str = "NHWC"):
+    """Conv with explicit symmetric padding (torch semantics); output NHWC.
+
+    input_layout='NCHW' lets the conv itself absorb a channel-first input
+    (used by the head convs on TPU so channel-first sequence storage needs
+    no explicit transpose that XLA would hoist into a 25x lane-padded
+    buffer — see PERF.md)."""
     dtype = x.dtype
     y = lax.conv_general_dilated(
         x, w.astype(dtype),
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=(input_layout, "HWIO", "NHWC"),
     )
     if b is not None:
         y = y + b.astype(dtype)
@@ -158,8 +164,10 @@ def _apply_norm(p, x, norm, eps=1e-5):
     return x
 
 
-def conv_layer_apply(p, x, stride=1, padding=0, activation="relu", norm=None):
-    out = conv2d(x, p["conv2d"]["weight"], p["conv2d"].get("bias"), stride, padding)
+def conv_layer_apply(p, x, stride=1, padding=0, activation="relu", norm=None,
+                     input_layout="NHWC"):
+    out = conv2d(x, p["conv2d"]["weight"], p["conv2d"].get("bias"), stride,
+                 padding, input_layout)
     out = _apply_norm(p, out, norm)
     return _activation_fn(activation)(out)
 

@@ -70,26 +70,29 @@ class ERGB2DepthRecurrent:
         times_im = pkg.get("times_image") if cfg.use_phased_arch else None
         # channel-first sequence storage ('events_cf' [B,K,C,H,W] /
         # 'image_cf' [B,C,H,W]): tiny channel counts on the lane-minor dim
-        # make XLA pad stacked TBPTT tensors up to 25x on TPU; storing the
-        # time-stacked arrays channel-first and transposing per step keeps
-        # HBM usage at the unpadded size (see PERF.md)
+        # make XLA pad stacked TBPTT tensors up to 25x on TPU.  The head
+        # conv consumes NCHW directly (dimension_numbers) so no transpose
+        # exists for XLA to hoist into a padded full-sequence buffer
+        # (see PERF.md).
         for k in range(loop):
             if "events_cf" in pkg:
-                x = jnp.moveaxis(pkg["events_cf"][:, k], 1, -1)
+                x, layout = pkg["events_cf"][:, k], "NCHW"
             else:
-                x = pkg["events"][:, k]
+                x, layout = pkg["events"][:, k], "NHWC"
             t = times_ev[:, k] if times_ev is not None else None
             state = statenet.forward_modality(params, cfg, x, state,
-                                              event_modality, times=t)
+                                              event_modality, times=t,
+                                              input_layout=layout)
             key = f"events{k}"
             if decode_keys is None or key in decode_keys:
                 preds[key] = statenet.forward_decoder(params, cfg, state)
         if "image_cf" in pkg:
-            img = jnp.moveaxis(pkg["image_cf"], 1, -1)
+            img, layout = pkg["image_cf"], "NCHW"
         else:
-            img = pkg["image"]
+            img, layout = pkg["image"], "NHWC"
         state = statenet.forward_modality(params, cfg, img, state,
-                                          "image", times=times_im)
+                                          "image", times=times_im,
+                                          input_layout=layout)
         if decode_keys is None or "image" in decode_keys:
             preds["image"] = statenet.forward_decoder(params, cfg, state)
         return state, preds

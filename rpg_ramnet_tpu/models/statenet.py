@@ -170,7 +170,7 @@ def _super_hidden(cfg: ModelConfig, s):
 
 
 def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
-                     modality: str, times=None):
+                     modality: str, times=None, input_layout: str = "NHWC"):
     """One encoder sweep of one modality, updating the shared super states.
 
     modality: 'events' -> head_events/encoders_events/state_combination_events
@@ -191,7 +191,8 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
         enc_states = state.image.encoders
 
     x = x.astype(compute_dtype(cfg))
-    x = L.conv_layer_apply(head_p, x, 1, 2, "relu", cfg.norm)
+    x = L.conv_layer_apply(head_p, x, 1, 2, "relu", cfg.norm,
+                           input_layout=input_layout)
 
     new_supers: List[Any] = []
     new_enc_states: List[Any] = []
