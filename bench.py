@@ -124,10 +124,10 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4):
     # TPU training layout: channel-first inputs + squeezed depth targets
     # (see train/sequence_loss.pack_train_batch and PERF.md)
     batch = {
-        "events_cf": jnp.asarray(rng.randn(B, L, K, 5, H, W).astype(np.float32)),
-        "image_cf": jnp.asarray(rng.rand(B, L, 1, H, W).astype(np.float32)),
-        "depth_events": jnp.asarray(rng.rand(B, L, K, H, W).astype(np.float32)),
-        "depth_image": jnp.asarray(rng.rand(B, L, H, W).astype(np.float32)),
+        "events_tcf": jnp.asarray(rng.randn(L, B, K, 5, H, W).astype(np.float32)),
+        "image_tcf": jnp.asarray(rng.rand(L, B, 1, H, W).astype(np.float32)),
+        "depth_events_t": jnp.asarray(rng.rand(L, B, K, H, W).astype(np.float32)),
+        "depth_image_t": jnp.asarray(rng.rand(L, B, H, W).astype(np.float32)),
     }
 
     @jax.jit
@@ -136,7 +136,7 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4):
             p, s = carry
             eps = (i + 1).astype(jnp.float32) * 1e-9
             b = dict(batch)
-            b["events_cf"] = batch["events_cf"] + eps
+            b["events_tcf"] = batch["events_tcf"] + eps
             state0 = ERGB2DepthRecurrent.init_state(mcfg, B, H, W)
             grads = jax.grad(lambda pp: loss_fn(pp, state0, b)[0])(p)
             updates, s = opt.update(grads, s, p)

@@ -142,12 +142,16 @@ class BatchLoader:
                 yield _stack_items([f.result() for f in futs])
 
 
-def device_prefetch(iterator: Iterator, size: int = 2, sharding=None):
+def device_prefetch(iterator: Iterator, size: int = 2, sharding=None,
+                    put_fn: Optional[Callable] = None):
     """Double-buffered host->device pipeline: device_put the next `size`
-    batches while the consumer computes on the current one."""
+    batches while the consumer computes on the current one.  put_fn
+    overrides placement (e.g. parallel.shard_batch for per-key specs)."""
     buf: List[Any] = []
 
     def put(batch):
+        if put_fn is not None:
+            return put_fn(batch)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding) if sharding is not None
             else jax.device_put(x), batch)

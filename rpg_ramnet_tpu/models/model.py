@@ -120,10 +120,19 @@ class ERGB2DepthRecurrent:
 
         if remat:
             step = jax.checkpoint(step)
-        # time axis must lead for scan
-        seq_t = {k: jnp.moveaxis(v, 1, 0) for k, v in seq.items()
-                 if k in ("events", "image", "events_cf", "image_cf",
-                          "times_events", "times_image")}
+        # time axis must lead for scan.  '*_tcf'/'*_t' keys arrive already
+        # time-leading from pack_train_batch (no in-jit transpose: an XLA
+        # copy of the whole sequence into a lane-padded layout would cost
+        # up to 25x HBM, see PERF.md); plain keys are transposed here.
+        _TL_RENAME = {"events_tcf": "events_cf", "image_tcf": "image_cf",
+                      "times_events_t": "times_events",
+                      "times_image_t": "times_image"}
+        seq_t = {}
+        for k, v in seq.items():
+            if k in _TL_RENAME:
+                seq_t[_TL_RENAME[k]] = v
+            elif k in ("events", "image", "times_events", "times_image"):
+                seq_t[k] = jnp.moveaxis(v, 1, 0)
         final_state, preds = jax.lax.scan(step, state, seq_t)
         # [L, B, H, W(, 1)] per key -> keep time-leading layout for the loss
         return final_state, preds

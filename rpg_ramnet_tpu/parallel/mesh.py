@@ -39,12 +39,28 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+# keys stored time-leading by train.sequence_loss.pack_train_batch: the
+# batch dim is axis 1 there
+TIME_LEADING_KEYS = ("events_tcf", "image_tcf", "depth_events_t",
+                     "depth_image_t", "times_events_t", "times_image_t")
+
+
+def key_sharding(mesh: Mesh, key: str) -> NamedSharding:
+    if key in TIME_LEADING_KEYS:
+        return NamedSharding(mesh, P(None, DATA_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def shard_batch(batch, mesh: Mesh):
-    """device_put a host batch with batch-dim sharding (per-leaf)."""
+    """device_put a host batch with per-key batch-dim sharding (dim 0, or
+    dim 1 for time-leading packed keys)."""
+    if isinstance(batch, dict):
+        return {k: jax.device_put(v, key_sharding(mesh, k))
+                for k, v in batch.items()}
     s = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 

@@ -38,35 +38,55 @@ def supervised_keys(cfg: Config) -> Tuple[str, ...]:
 
 def pack_train_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     """Host-side repack of an NHWC loader batch into the TPU-friendly
-    training layout: channel-first sequence inputs ('events_cf'
-    [B,L,K,C,H,W], 'image_cf' [B,L,C,H,W]) and squeezed 1-channel depth
-    targets ([B,L,K,H,W] / [B,L,H,W]).
+    training layout: TIME-LEADING, channel-first sequence inputs
+    ('events_tcf' [L,B,K,C,H,W], 'image_tcf' [L,B,C,H,W]) and squeezed,
+    time-leading depth targets ('depth_events_t' [L,B,K,H,W],
+    'depth_image_t' [L,B,H,W]).
 
     Why: XLA tiles the two minor dims to (8, 128); stacked TBPTT tensors
     with 1-5 channels on the minor dim get padded up to 128x in HBM
     (observed 75 GB for the reference training recipe).  Channel-first
-    storage + per-step transpose keeps arguments at unpadded size."""
+    keeps the big spatial dims on the tile; time-leading removes the
+    in-jit [B,L]->[L,B] transpose whose XLA copy re-materialized the whole
+    sequence in the padded layout (see PERF.md)."""
     import numpy as np
     out = {}
     for k, v in batch.items():
-        if k == "events" and v.ndim == 6:
-            out["events_cf"] = np.moveaxis(v, -1, 3)
-        elif k == "image" and v.ndim == 5:
-            out["image_cf"] = np.moveaxis(v, -1, 2)
-        elif k in ("depth_events", "depth_image") and v.shape[-1] == 1:
-            out[k] = v[..., 0]
+        if k == "events" and v.ndim == 6:          # [B,L,K,H,W,C]
+            out["events_tcf"] = np.ascontiguousarray(
+                np.transpose(v, (1, 0, 2, 5, 3, 4)))
+        elif k == "image" and v.ndim == 5:          # [B,L,H,W,C]
+            out["image_tcf"] = np.ascontiguousarray(
+                np.transpose(v, (1, 0, 4, 2, 3)))
+        elif k == "depth_events" and v.shape[-1] == 1:
+            out["depth_events_t"] = np.ascontiguousarray(
+                np.moveaxis(v[..., 0], 1, 0))
+        elif k == "depth_image" and v.shape[-1] == 1:
+            out["depth_image_t"] = np.ascontiguousarray(
+                np.moveaxis(v[..., 0], 1, 0))
+        elif k in ("times_events", "times_image"):
+            out[k + "_t"] = np.ascontiguousarray(np.moveaxis(v, 1, 0))
         else:
             out[k] = v
     return out
 
 
+TIME_LEADING_KEYS = ("events_tcf", "image_tcf", "depth_events_t",
+                     "depth_image_t", "times_events_t", "times_image_t")
+
+
 def _target_for(batch: Dict[str, Any], key: str):
-    """Time-leading SQUEEZED target [L, B, H, W] for a prediction key
-    (accepts both [..., 1]-channel and pre-squeezed batches)."""
+    """Time-leading SQUEEZED target [L, B, H, W] for a prediction key.
+    Accepts batch-leading NHWC ('depth_*' [B,L,...,1]) or time-leading
+    packed ('depth_*_t' [L,B,...]) batches."""
     if key == "image":
+        if "depth_image_t" in batch:
+            return batch["depth_image_t"]
         t = batch["depth_image"]
     else:
         k = int(key[len("events"):])
+        if "depth_events_t" in batch:
+            return batch["depth_events_t"][:, :, k]
         t = batch["depth_events"][:, :, k]
     if t.ndim == 5:  # [B, L, H, W, 1]
         t = t[..., 0]
@@ -93,14 +113,17 @@ def make_sequence_loss(cfg: Config, remat: bool = False):
 
     def loss_fn(params, state0, batch):
         seq_in = {k: batch[k] for k in
-                  ("events", "image", "events_cf", "image_cf",
-                   "times_events", "times_image")
+                  ("events", "image", "events_tcf", "image_tcf",
+                   "times_events", "times_image", "times_events_t",
+                   "times_image_t")
                   if k in batch}
         _, preds = model.forward_sequence(params, mcfg, state0, seq_in,
                                           decode_keys=keys, remat=remat,
                                           squeeze_preds=True)
-        img = batch["image"] if "image" in batch else batch["image_cf"]
-        l_steps = img.shape[1]
+        if "image_tcf" in batch:
+            l_steps = batch["image_tcf"].shape[0]
+        else:
+            l_steps = batch["image"].shape[1]
         total_si = 0.0
         total_grad = 0.0
         total_mse = 0.0

@@ -23,11 +23,11 @@ from .optim import make_optimizer
 
 
 def _batch_dims(batch):
-    """(B, H, W) for either NHWC 'image' [B,L,H,W,C] or channel-first
-    'image_cf' [B,L,C,H,W] batches."""
-    if "image_cf" in batch:
-        s = batch["image_cf"].shape
-        return s[0], s[-2], s[-1]
+    """(B, H, W) for NHWC 'image' [B,L,H,W,C] or time-leading channel-first
+    'image_tcf' [L,B,C,H,W] batches."""
+    if "image_tcf" in batch:
+        s = batch["image_tcf"].shape
+        return s[1], s[-2], s[-1]
     s = batch["image"].shape
     return s[0], s[2], s[3]
 
@@ -60,11 +60,13 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
+    # mesh mode: the caller places the arguments (params/opt replicated via
+    # parallel.replicate, batch per-key sharded via parallel.shard_batch —
+    # time-leading keys shard dim 1); GSPMD propagates and inserts the
+    # gradient psum over 'data'.
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
     return jax.jit(
         step,
-        in_shardings=(repl, repl, data),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1) if donate else (),
     )
@@ -85,5 +87,4 @@ def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None):
     if mesh is None:
         return jax.jit(step)
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(step, in_shardings=(repl, data), out_shardings=repl)
+    return jax.jit(step, out_shardings=repl)

@@ -109,13 +109,15 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _run_epoch(self, loader: BatchLoader, train: bool, epoch: int) -> Dict[str, float]:
-        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        from ..parallel import shard_batch as shard_batch_fn
+        put_fn = ((lambda b: shard_batch_fn(b, self.mesh))
+                  if self.mesh is not None else None)
         sums: Dict[str, float] = {}
         count = 0
         t0 = time.time()
         from .sequence_loss import pack_train_batch
         packed = (pack_train_batch(b) for b in loader)
-        for i, batch in enumerate(device_prefetch(packed, sharding=sharding)):
+        for i, batch in enumerate(device_prefetch(packed, put_fn=put_fn)):
             if train:
                 self.params, self.opt_state, aux = self.train_step(
                     self.params, self.opt_state, batch)

@@ -165,8 +165,10 @@ def test_packed_batch_layout_equivalence():
     batch = make_batch(cfg, seed=11)
     batch_np = {k: np.asarray(v) for k, v in batch.items()}
     packed = pack_train_batch(batch_np)
-    assert "events_cf" in packed and packed["events_cf"].shape[3] == 5
-    assert packed["depth_image"].ndim == 4
+    # time-leading channel-first: [L, B, K, C, H, W]
+    assert "events_tcf" in packed and packed["events_tcf"].shape[3] == 5
+    assert packed["events_tcf"].shape[:2] == (2, 2)
+    assert packed["depth_image_t"].ndim == 4
 
     state0 = ERGB2DepthRecurrent.init_state(cfg.model, 2, 16, 16)
     loss_fn = make_sequence_loss(cfg)
