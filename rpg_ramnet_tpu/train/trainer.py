@@ -143,13 +143,18 @@ class Trainer:
 
     def _write_previews(self, epoch: int, tag_prefix: str, loader: BatchLoader,
                         num_previews: int):
+        """Prediction/GT grids + the reference's preview-sample metric vector
+        (config['metrics'] evaluated on evenly spaced samples,
+        lstm_trainer.py:100-106,488-515)."""
         if self.tb is None or num_previews <= 0 or len(loader.dataset) == 0:
             return
         from ..utils.training_utils import select_evenly_spaced_elements
-        from ..models.model import prediction_keys
-        idxs = select_evenly_spaced_elements(num_previews, len(loader.dataset))
+        from ..eval.metrics import get_metric
+        metric_fns = [(m, get_metric(m)) for m in self.cfg.metrics]
+        total_metrics = np.zeros(len(metric_fns))
         model, mcfg = self.model, self.cfg.model
-        for p_i, idx in enumerate(idxs):
+        for p_i, idx in enumerate(idxs := select_evenly_spaced_elements(
+                num_previews, len(loader.dataset))):
             item, _ = loader.dataset[idx]
             seq = {"events": jax.numpy.asarray(item["events"][None]),
                    "image": jax.numpy.asarray(item["image"][None])}
@@ -174,6 +179,10 @@ class Trainer:
                     np.concatenate(list(np.nan_to_num(gt)), axis=1)], axis=0)
                 self.tb.add_image(f"{tag_prefix}{p_i}_{key}__input_pred_gt",
                                   grid[None], epoch)
+                for mi, (_, fn) in enumerate(metric_fns):
+                    total_metrics[mi] += fn(pred[0][None, None], gt[0][None, None])
+        for (name, _), v in zip(metric_fns, total_metrics / max(num_previews, 1)):
+            self.tb.add_scalar(f"{tag_prefix}metric_{name}", float(v), epoch)
 
     def _write_histograms(self, epoch: int):
         """Per-epoch weight/grad histograms + gradient-flow figure

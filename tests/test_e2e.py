@@ -56,7 +56,7 @@ def tiny_config_dict(save_dir, name="e2e_run"):
             "epochs": 1, "sequence_length": 2, "save_dir": save_dir,
             "save_freq": 1, "verbosity": 1, "monitor": "val_loss",
             "monitor_mode": "min", "num_previews": 1, "num_val_previews": 1,
-            "still_previews": False, "grid_loss": True,
+            "still_previews": True, "grid_loss": True,
             "loss_composition": ["image", "events4"], "loss_weights": [1, 1],
         },
         "arch": "ERGB2DepthRecurrent", "use_phased_arch": False,
