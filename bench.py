@@ -132,13 +132,13 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4):
 
     @jax.jit
     def run_n(params, opt_state, batch, n):
+        # no input perturbation needed: params update every iteration, so
+        # the whole loop body is already loop-variant (and a full-sequence
+        # add would itself materialize a lane-padded copy — see PERF.md)
         def body(i, carry):
             p, s = carry
-            eps = (i + 1).astype(jnp.float32) * 1e-9
-            b = dict(batch)
-            b["events_tcf"] = batch["events_tcf"] + eps
             state0 = ERGB2DepthRecurrent.init_state(mcfg, B, H, W)
-            grads = jax.grad(lambda pp: loss_fn(pp, state0, b)[0])(p)
+            grads = jax.grad(lambda pp: loss_fn(pp, state0, batch)[0])(p)
             updates, s = opt.update(grads, s, p)
             p = optax.apply_updates(p, updates)
             return (p, s)
