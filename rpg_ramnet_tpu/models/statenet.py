@@ -180,7 +180,7 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
     """
     is_events = modality == "events"
     if is_events:
-        head_p, head_in = params["head_events"], cfg.num_bins_events
+        head_p = params["head_events"]
         encoders = params["encoders_events"]
         combs = params.get("state_combination_events", [])
         enc_states = state.events.encoders

@@ -60,7 +60,8 @@ class Trainer:
             json.dump(cfg.raw, f, indent=2)
         self.jsonl = JsonlLogger(join(self.run_dir, "train_log.jsonl"))
         self.tb = self._make_tb(join(self.run_dir, "tensorboard"))
-        self.ckpt = CheckpointManager(self.run_dir)
+        use_async = bool(cfg.raw.get("trainer", {}).get("async_checkpoint", False))
+        self.ckpt = CheckpointManager(self.run_dir, use_async=use_async)
 
         self.mesh = make_mesh(cfg.mesh) if (use_mesh and len(jax.devices()) > 1) else None
         self.model = get_model(cfg.arch)

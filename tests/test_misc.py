@@ -51,6 +51,16 @@ def test_optimal_scale_identity():
     np.testing.assert_allclose(s, 1.0, rtol=1e-5)
 
 
+def test_evaluation_debug_colormap(tmp_path):
+    from rpg_ramnet_tpu.eval.evaluation import save_high_contrast_colormap
+    rng = np.random.RandomState(0)
+    t = rng.uniform(1, 80, (24, 32)).astype(np.float32)
+    p = rng.uniform(1, 80, (24, 32)).astype(np.float32)
+    save_high_contrast_colormap(3, t, p, str(tmp_path / "plots"))
+    import os
+    assert os.path.exists(tmp_path / "plots" / "frame_0000000003.png")
+
+
 def test_summary_counts():
     cfg = tiny_config()
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg.model)
