@@ -42,6 +42,7 @@ def main():
         down_scale_factor=args.down_scale_factor,
         rescale=args.rescale,
         output_folder=args.output_folder,
+        debug=args.debug, debug_idx=args.idx,
     )
     for k, v in metrics.items():
         print("%s : %f" % (k, v))

@@ -137,6 +137,7 @@ def evaluate_directories(target_dataset: str, predictions_dataset: str,
                          prediction_offset: int = 0, target_offset: int = 0,
                          down_scale_factor: float = 1.0, rescale: bool = False,
                          output_folder: Optional[str] = None,
+                         debug: bool = False, debug_idx: int = -1,
                          ) -> Dict[str, float]:
     """The evaluation.py __main__ loop (evaluation.py:295-397) as a library
     function.  Returns averaged metrics."""
@@ -164,9 +165,17 @@ def evaluate_directories(target_dataset: str, predictions_dataset: str,
         assert predicted_depth.shape == target_depth.shape
 
         depth_mask = np.ones_like(target_depth) > 0
+        before = dict(metrics)
         metrics = add_to_metrics(metrics, target_depth, predicted_depth,
                                  depth_mask, prefix="_", rescale=rescale,
                                  idx=idx, output_folder=output_folder)
+        if debug and (debug_idx < 0 or idx == debug_idx):
+            # per-frame metric printout (reference --debug, evaluation.py:246-248)
+            frame = {k: metrics.get(k, 0.0) - before.get(k, 0.0)
+                     for k in metrics_keywords(prefix="_")[:10]}
+            print(f"frame {idx}:")
+            for k, v in frame.items():
+                print(f"  {k} : {v:f}")
         metrics2.append(eval_metrics(predicted_depth[None, None],
                                      target_depth[None, None]))
         for d in DEPTH_VALUES:

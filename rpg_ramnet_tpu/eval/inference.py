@@ -76,10 +76,15 @@ class StreamingInference:
         self._state = self.model.init_state(self.cfg, batch, height, width)
 
     def step(self, pkg: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        """pkg: {'events': [K,H,W,C], 'image': [H,W,C]} (unbatched) ->
+        """pkg: {'events': [K,H,W,C], 'image': [H,W,C], optional
+        'times_events' [K] / 'times_image' scalar} (unbatched) ->
         {key: [H,W,1]} predictions."""
         batched = {"events": jnp.asarray(pkg["events"])[None],
                    "image": jnp.asarray(pkg["image"])[None]}
+        for tk in ("times_events", "times_image"):
+            if tk in pkg:
+                batched[tk] = jnp.asarray(np.atleast_1d(pkg[tk]))[None] \
+                    if tk == "times_events" else jnp.asarray(pkg[tk]).reshape(1)
         h, w = pkg["image"].shape[0], pkg["image"].shape[1]
         if self._state is None:
             self.reset(1, h, w)

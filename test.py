@@ -134,6 +134,11 @@ def main():
         for idx in range(n):
             item, dataset_idx = dataset[idx]
             pkg = {"events": item["events"][0], "image": item["image"][0]}
+            if cfg.use_phased_arch:
+                if "times_events" in item:
+                    pkg["times_events"] = item["times_events"][0]
+                if "times_image" in item:
+                    pkg["times_image"] = item["times_image"][0]
             if dataset_idx > prev_dataset_idx:
                 h, w = pkg["image"].shape[0], pkg["image"].shape[1]
                 engine.reset(1, h, w)

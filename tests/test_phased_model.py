@@ -15,14 +15,14 @@ from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
 from test_train import tiny_config, make_batch
 
 
-def phased_config():
+def phased_config(spatial=(16, 16)):
     cfg = tiny_config(recurrent_block_type="convlstm",
                       state_combination="convlstm",
-                      spatial_resolution=[16, 16])
+                      spatial_resolution=list(spatial))
     raw = dict(cfg.raw)
     raw["use_phased_arch"] = True
     raw["model"] = {**raw["model"], "use_phased_arch": True,
-                    "spatial_resolution": [16, 16]}
+                    "spatial_resolution": list(spatial)}
     return Config.from_dict(raw)
 
 
@@ -56,6 +56,38 @@ def test_phased_forward_and_time_sensitivity():
         {k: batch_b[k] for k in ("events", "image", "times_events", "times_image")})
     diff = np.abs(np.asarray(preds_a["image"]) - np.asarray(preds_b["image"])).max()
     assert diff > 1e-5, diff
+
+
+def test_phased_streaming_inference(tmp_path):
+    """Phased model streaming over synthetic data with real timestamps
+    threaded from the dataset (times_events/times_image plumbing)."""
+    from rpg_ramnet_tpu.data.synthetic import generate_eventscape_sequence
+    from rpg_ramnet_tpu.data import SequenceSynchronizedFramesEventsDataset
+    from rpg_ramnet_tpu.eval.inference import StreamingInference
+
+    root = tmp_path / "seq"
+    generate_eventscape_sequence(str(root), n_frames=12, height=32, width=32,
+                                 events_per_frame=200)
+    cfg = phased_config(spatial=(32, 32))  # gate params are per-feature
+    ds = SequenceSynchronizedFramesEventsDataset(
+        base_folder=str(root), event_folder="events/voxels",
+        depth_folder="depth/data", frame_folder="rgb/data",
+        sequence_length=1, step_size=1, clip_distance=80.0,
+        every_x_rgb_frame=3, reg_factor=3.70378, use_phased_arch=True)
+    assert len(ds) >= 2
+    item = ds[0]
+    assert "times_events" in item and item["times_events"].shape == (1, 3)
+
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(2), cfg.model)
+    engine = StreamingInference(params, cfg.model)
+    for i in range(2):
+        it = ds[i]
+        preds = engine.step({"events": it["events"][0],
+                             "image": it["image"][0],
+                             "times_events": it["times_events"][0],
+                             "times_image": it["times_image"][0]})
+        assert preds["image"].shape == (32, 32, 1)
+        assert np.all(np.isfinite(preds["image"]))
 
 
 def test_phased_training_step():
