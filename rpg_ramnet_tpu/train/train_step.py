@@ -46,12 +46,43 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
     loss_fn = make_sequence_loss(cfg, remat=remat)
     model = get_model(cfg.arch)
     mcfg = cfg.model
+    accum = int(cfg.raw.get("trainer", {}).get("grad_accum", 1))
+
+    def _split(batch, n, i):
+        """i-th of n micro-batches (batch dim is 1 for time-leading keys)."""
+        out = {}
+        for k, v in batch.items():
+            dim = 1 if k.endswith("_tcf") or k.endswith("_t") else 0
+            size = v.shape[dim] // n
+            out[k] = jax.lax.dynamic_slice_in_dim(v, i * size, size, axis=dim)
+        return out
 
     def step(params, opt_state, batch):
         b, h, w = _batch_dims(batch)
-        state0 = model.init_state(mcfg, b, h, w)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, aux), grads = grad_fn(params, state0, batch)
+        if accum <= 1:
+            state0 = model.init_state(mcfg, b, h, w)
+            (_, aux), grads = grad_fn(params, state0, batch)
+        else:
+            # gradient accumulation over micro-batches (scan keeps one
+            # micro-batch of activations live at a time)
+            mb = b // accum
+            state0 = model.init_state(mcfg, mb, h, w)
+
+            def acc_step(carry, i):
+                g_sum, aux_sum = carry
+                (_, aux), g = grad_fn(params, state0, _split(batch, accum, i))
+                g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g)
+                aux_sum = jax.tree_util.tree_map(jnp.add, aux_sum, aux)
+                return (g_sum, aux_sum), None
+
+            # first micro-batch initializes the accumulators
+            (_, aux_init), g_init = grad_fn(params, state0, _split(batch, accum, 0))
+            (grads, aux), _ = jax.lax.scan(
+                acc_step, (g_init, aux_init),
+                jnp.arange(1, accum))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            aux = jax.tree_util.tree_map(lambda a: a / accum, aux)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         aux["grad_norm"] = optax.global_norm(grads)

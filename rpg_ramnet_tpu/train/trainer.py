@@ -243,7 +243,7 @@ class Trainer:
                 except Exception as e:
                     self.logger.warning("preview writing failed: %s", e)
 
-            monitored = log.get(self.monitor.replace("val_loss", "val_loss"), None)
+            monitored = log.get(self.monitor)
             if monitored is None:
                 monitored = log.get("val_loss", log.get("train_loss"))
             improved = (monitored < self.monitor_best) if self.monitor_mode == "min" \

@@ -181,6 +181,31 @@ def test_packed_batch_layout_equivalence():
                                                 atol=1e-5, rtol=1e-4), g1, g2)
 
 
+def test_grad_accumulation():
+    """trainer.grad_accum splits the batch into micro-batches; losses/grads
+    are micro-batch means (close to, not bit-equal with, full-batch SI loss
+    whose mean-term is batch-global)."""
+    cfg = tiny_config()
+    cfg2 = Config.from_dict({**cfg.raw,
+                             "trainer": {**cfg.raw["trainer"], "grad_accum": 2}})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(6), cfg.model)
+    opt = make_optimizer(cfg)
+    batch = make_batch(cfg, B=4, seed=13)
+
+    s1 = make_train_step(cfg, opt, donate=False)
+    s2 = make_train_step(cfg2, opt, donate=False)
+    p1, o1, a1 = s1(params, opt.init(params), batch)
+    p2, o2, a2 = s2(params, opt.init(params), batch)
+    assert np.isfinite(float(a2["loss"]))
+    # the SI term is a batch mean -> nearly batch-size independent; the
+    # multi-scale-grad term scales with batch size by reference design
+    # (loss.py:55 multiplies by batch), so micro-batching halves it — the
+    # same loss you'd get training at the micro-batch size.
+    np.testing.assert_allclose(float(a1["L_si"]), float(a2["L_si"]), rtol=0.05)
+    np.testing.assert_allclose(float(a1["L_grad"]) / 2,
+                               float(a2["L_grad"]), rtol=0.05)
+
+
 def test_eval_step():
     cfg = tiny_config()
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(3), cfg.model)
