@@ -136,15 +136,23 @@ def init_params(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict[str, Any]:
     ]
     decoder_input_sizes = list(reversed(cfg.encoder_output_sizes))
     decs = []
-    for in_c in decoder_input_sizes:
-        dec_in = in_c if cfg.skip_type == "sum" else 2 * in_c
+    for i, in_c in enumerate(decoder_input_sizes):
+        # NOTE deviation: the reference sizes ALL decoders at 2x for
+        # concat/no_skip (statenet.py:111) but its forward gives decoder 0
+        # no skip and identity skips single-width tensors — so only
+        # skip_type='sum' actually runs upstream.  We size decoders to what
+        # the forward really feeds, making concat/no_skip functional.
+        if cfg.skip_type == "concat" and i > 0:
+            dec_in = 2 * in_c
+        else:
+            dec_in = in_c
         if cfg.use_upsample_conv:
             decs.append(L.upsample_conv_layer_init(next(keys), dec_in, in_c // 2, 5, cfg.norm, dtype))
         else:
             decs.append(L.transposed_conv_layer_init(next(keys), dec_in, in_c // 2, 5, cfg.norm, dtype))
     p["decoders"] = decs
-    pred_in = nb if cfg.skip_type == "sum" else 2 * nb
-    p["pred"] = L.conv_layer_init(next(keys), pred_in, cfg.num_output_channels, 1, cfg.norm, dtype)
+    # statenet's pred has NO head skip (statenet.py:313) -> base channels
+    p["pred"] = L.conv_layer_init(next(keys), nb, cfg.num_output_channels, 1, cfg.norm, dtype)
     return p
 
 
