@@ -15,7 +15,6 @@ models/statenet.py:init_params), conversion is mechanical:
 """
 from __future__ import annotations
 
-import copy
 from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np

@@ -33,7 +33,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from ..ops.depth import depth_to_log_np, rgb_to_gray_np
-from ..ops.voxel import events_to_voxel_grid_np, normalize_voxel_grid_np
+from ..ops.voxel import normalize_voxel_grid_np
 from ..core.registry import DATASETS
 from .timestamps import TimestampIndex, first_element_greater_than, is_mvsec_folder
 

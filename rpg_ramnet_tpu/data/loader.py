@@ -9,8 +9,6 @@ the model forward — on the critical path)."""
 from __future__ import annotations
 
 import os
-import threading
-import queue as queue_mod
 from concurrent.futures import ThreadPoolExecutor
 from os.path import join
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
@@ -19,7 +17,6 @@ import numpy as np
 
 import jax
 
-from .datasets import SequenceSynchronizedFramesEventsDataset
 from ..core.registry import DATASETS
 
 

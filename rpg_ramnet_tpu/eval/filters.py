@@ -7,7 +7,6 @@ conv, NHWC); the bilateral filter is host-side cv2 (edge-aware, not a conv).
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import numpy as np

@@ -8,7 +8,6 @@ math directly in NHWC (kornia is not a dependency here).
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -8,8 +8,7 @@ so XLA derives the psum gradient all-reduce (DP) automatically.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +18,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import Config
 from ..models.model import get_model
 from .sequence_loss import make_sequence_loss
-from .optim import make_optimizer
 
 
 def _batch_dims(batch):

@@ -22,7 +22,7 @@ import jax
 
 from ..core.config import Config
 from ..models.model import get_model
-from ..parallel import make_mesh, shard_batch, replicate, batch_sharding
+from ..parallel import make_mesh, replicate
 from .optim import make_optimizer, lr_at_epoch, set_learning_rate
 from .train_step import make_train_step, make_eval_step
 from .checkpoint import CheckpointManager, export_pth_tar
