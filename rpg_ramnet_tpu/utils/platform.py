@@ -11,7 +11,8 @@ from __future__ import annotations
 import os
 
 
-def ensure_platform(default: str | None = None) -> str:
+def ensure_platform(default: str | None = None,
+                    matmul_precision: str | None = None) -> str:
     import jax
     want = os.environ.get("JAX_PLATFORMS") or default
     if want and want not in ("axon",):
@@ -19,4 +20,10 @@ def ensure_platform(default: str | None = None) -> str:
             jax.config.update("jax_platforms", want)
         except Exception:
             pass
+    # TPU matmuls/convs default to reduced precision; checkpoint-parity
+    # evaluation should run with 'highest' (config key 'matmul_precision'
+    # or env JAX_DEFAULT_MATMUL_PRECISION)
+    prec = matmul_precision or os.environ.get("JAX_DEFAULT_MATMUL_PRECISION")
+    if prec:
+        jax.config.update("jax_default_matmul_precision", prec)
     return jax.default_backend()

@@ -43,7 +43,7 @@ def main():
             config_dict = json.load(f)
 
     from rpg_ramnet_tpu.utils import ensure_platform
-    ensure_platform()
+    ensure_platform(matmul_precision=config_dict.get("matmul_precision"))
     from rpg_ramnet_tpu.core.config import Config
     from rpg_ramnet_tpu.data import CenterCrop, concatenate_subfolders
     from rpg_ramnet_tpu.eval.inference import StreamingInference, optimal_scale

@@ -29,14 +29,6 @@ def main():
                         help="disable multi-device data parallelism")
     args = parser.parse_args()
 
-    from rpg_ramnet_tpu.utils import ensure_platform
-    ensure_platform()
-    from rpg_ramnet_tpu.core.config import Config
-    from rpg_ramnet_tpu.data import (Compose, RandomRotationFlip, RandomCrop,
-                                     CenterCrop, concatenate_subfolders, BatchLoader)
-    from rpg_ramnet_tpu.train.trainer import Trainer
-    from rpg_ramnet_tpu.train.checkpoint import load_any
-
     config_dict = None
     if args.resume is not None:
         with open(join(args.resume, "meta.json")) as f:
@@ -48,6 +40,15 @@ def main():
         if args.resume is None:
             assert not os.path.exists(run_path), f"Path {run_path} already exists!"
     assert config_dict is not None, "need --config or --resume"
+
+    from rpg_ramnet_tpu.utils import ensure_platform
+    ensure_platform(matmul_precision=config_dict.get("matmul_precision"))
+    from rpg_ramnet_tpu.core.config import Config
+    from rpg_ramnet_tpu.data import (Compose, RandomRotationFlip, RandomCrop,
+                                     CenterCrop, concatenate_subfolders, BatchLoader)
+    from rpg_ramnet_tpu.train.trainer import Trainer
+    from rpg_ramnet_tpu.train.checkpoint import load_any
+
     cfg = Config.from_dict(config_dict)
 
     root = os.environ["PREPROCESSED_DATASETS_FOLDER"]
