@@ -244,6 +244,19 @@ def test_full_pipeline_cli(workspace):
     assert os.path.exists(join(out_dir, "depth", "image"))
     assert os.path.exists(join(out_dir, "color_map", "image"))
 
+    # lane-batched CLI mode produces the same npy outputs
+    out_dir2 = str(ws / "test_out_lanes")
+    run([sys.executable, "test.py",
+         "--path_to_model", join(run_dir, "model_best"),
+         "--config", join(run_dir, "config.json"),
+         "--output_path", out_dir2,
+         "--data_folder", "test",
+         "--crop", "32,32", "--lanes", "2"], env_extra=env)
+    for f in sorted(os.listdir(npy_dir)):
+        a = np.load(join(npy_dir, f))
+        b = np.load(join(out_dir2, "npy", "image", f))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
     r = run([sys.executable, "evaluation.py",
              "--target_dataset", gt_dir,
              "--predictions_dataset", npy_dir,
