@@ -105,6 +105,11 @@ def main():
             if "semantic_image" in item:
                 writer.write_semantic(idx, "semantic_image",
                                       np.moveaxis(item["semantic_image"][0], -1, 0))
+            if "semantic_events" in item:
+                for k in range(item["semantic_events"].shape[1]):
+                    writer.write_semantic(
+                        idx, f"semantic_events{k}",
+                        np.moveaxis(item["semantic_events"][0, k], -1, 0))
             for key in preds.keys():
                 inp = (item["image"][0] if key == "image"
                        else item["events"][0, int(key[len("events"):])])
