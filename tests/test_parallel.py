@@ -34,6 +34,40 @@ def test_make_global_batch_single_process():
     assert len(g["x"].sharding.device_set) == mesh.devices.size
 
 
+def test_spatial_sharding_exactness():
+    """H-dim spatial partitioning over the 'model' axis (conv halos via
+    GSPMD) must be bit-compatible with unsharded execution, composed with
+    DP on 'data' (2x4 mesh)."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.core.config import MeshConfig
+    from rpg_ramnet_tpu.core.config import ModelConfig
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+    from rpg_ramnet_tpu.parallel import (shard_package_spatial,
+                                         shard_state_spatial, replicate)
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "recurrent_block_type": "conv",
+        "state_combination": "convgru", "num_encoders": 2,
+        "base_num_channels": 4, "every_x_rgb_frame": 2, "baseline": False,
+        "skip_type": "sum", "norm": "none"})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    rng = np.random.RandomState(0)
+    pkg = {"x": None}
+    pkg = {"events": rng.randn(2, 2, 32, 32, 5).astype(np.float32),
+           "image": rng.rand(2, 32, 32, 1).astype(np.float32)}
+    state = ERGB2DepthRecurrent.init_state(mcfg, 2, 32, 32)
+    fwd = jax.jit(lambda p, s, x: ERGB2DepthRecurrent.forward_package(p, mcfg, s, x))
+    _, ref = fwd(params, state, {k: jnp.asarray(v) for k, v in pkg.items()})
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    _, out = fwd(replicate(params, mesh),
+                 shard_state_spatial(state, mesh),
+                 shard_package_spatial(pkg, mesh))
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_sharded_prefetch():
     mesh = make_mesh()
     batches = [{"x": np.full((8, 2), i, np.float32)} for i in range(5)]
