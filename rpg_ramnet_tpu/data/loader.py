@@ -119,11 +119,18 @@ class BatchLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
 
+        epoch = self.epoch  # snapshot (self.epoch already advanced)
         with ThreadPoolExecutor(self.num_workers) as pool:
             depth = 2  # batches in flight
 
+            def load_item(i):
+                # deterministic per-(seed, epoch, index) augmentation seed:
+                # reproducible epochs, no shared global RNG across threads
+                item_seed = (hash((self.seed, epoch, int(i))) & 0x7FFFFFFF)
+                return self.dataset.get(int(i), seed=item_seed)[0]
+
             def schedule(idxs):
-                return [pool.submit(lambda i: self.dataset[i][0], i) for i in idxs]
+                return [pool.submit(load_item, i) for i in idxs]
 
             it = iter(batches)
             inflight = []

@@ -84,6 +84,22 @@ def test_pause_augmentation(es_split):
     np.testing.assert_array_equal(seq["image"][1], seq["image"][0])
 
 
+def test_loader_determinism(es_split):
+    """Same loader seed + epoch -> identical batches (reproducible runs)."""
+    t = D.Compose([D.RandomRotationFlip(0.0, 0.5, 0.0), D.RandomCrop(32)])
+    concat = D.concatenate_subfolders(
+        es_split, "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+        "depth/data", "rgb/data", sequence_length=2, step_size=1,
+        clip_distance=80.0, every_x_rgb_frame=5, reg_factor=3.70378,
+        transform=t)
+    l1 = D.BatchLoader(concat, batch_size=3, shuffle=True, num_workers=2, seed=42)
+    l2 = D.BatchLoader(concat, batch_size=3, shuffle=True, num_workers=2, seed=42)
+    b1 = next(iter(l1))
+    b2 = next(iter(l2))
+    np.testing.assert_array_equal(b1["events"], b2["events"])
+    np.testing.assert_array_equal(b1["image"], b2["image"])
+
+
 def test_concat_and_loader(es_split):
     concat = D.concatenate_subfolders(
         es_split, "SequenceSynchronizedFramesEventsDataset", "events/voxels",
