@@ -108,6 +108,11 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle/augmentation epoch (torch DistributedSampler-style);
+        the trainer calls this so --resume reproduces the exact data order."""
+        self.epoch = epoch
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         order = np.arange(n)

@@ -116,6 +116,7 @@ class Trainer:
         sums: Dict[str, float] = {}
         count = 0
         t0 = time.time()
+        loader.set_epoch(epoch)  # resume reproduces the exact data order
         from .sequence_loss import pack_train_batch
         packed = (pack_train_batch(b) for b in loader)
         for i, batch in enumerate(device_prefetch(packed, put_fn=put_fn)):
