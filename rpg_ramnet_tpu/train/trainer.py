@@ -240,7 +240,7 @@ class Trainer:
                             self._write_previews(epoch, "val_preview_",
                                                  self.valid_loader,
                                                  cfg.trainer.num_val_previews)
-                    self._write_histograms(epoch)
+                        self._write_histograms(epoch)
                 except Exception as e:
                     self.logger.warning("preview writing failed: %s", e)
 
