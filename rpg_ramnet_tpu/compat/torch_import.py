@@ -112,6 +112,70 @@ def params_to_state_dict(params, arch: str = "ERGB2DepthRecurrent") -> Dict[str,
     return out
 
 
+def ordered_param_names(state_dict: Mapping[str, Any]) -> list:
+    """Parameter names in torch registration order (= optimizer param-group
+    index order for the reference's optim.Adam(model.parameters()),
+    base_trainer.py:36-43).  Buffers (running stats) are excluded."""
+    out = []
+    for name in state_dict.keys():
+        if name.endswith("num_batches_tracked") or ".running_" in name:
+            continue
+        out.append(name)
+    return out
+
+
+def import_torch_optimizer_state(ckpt: Mapping[str, Any], params,
+                                 optimizer) -> Any:
+    """Convert a reference checkpoint's torch Adam optimizer state into an
+    optax opt_state for `optimizer` (the train.optim factory's chain), so
+    --resume continues EXACTLY where a reference training run stopped
+    (moments + step count restored; base_trainer.py:160-179 semantics).
+
+    Mapping: torch param-group index i -> i-th parameter key of the
+    checkpoint state_dict (registration order) -> our param-tree path, with
+    the same OIHW->HWIO transposes as the weights themselves.
+    """
+    import jax.numpy as jnp
+    import optax
+
+    sd = ckpt["state_dict"]
+    opt_sd = ckpt["optimizer"]
+    names = ordered_param_names(sd)
+
+    mu_flat: Dict[str, np.ndarray] = {}
+    nu_flat: Dict[str, np.ndarray] = {}
+    step = 0
+    for idx_key, st in opt_sd["state"].items():
+        i = int(idx_key)
+        name = names[i]
+        mu_flat[name] = _to_numpy(st["exp_avg"])
+        nu_flat[name] = _to_numpy(st["exp_avg_sq"])
+        sv = st["step"]
+        step = max(step, int(sv) if isinstance(sv, (int, float))
+                   else int(_to_numpy(sv).item()))
+
+    mu = state_dict_to_params(mu_flat)
+    nu = state_dict_to_params(nu_flat)
+
+    opt_state = optimizer.init(params)
+
+    def walk(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s._replace(count=jnp.asarray(step, jnp.int32),
+                              mu=jax.tree_util.tree_map(jnp.asarray, mu),
+                              nu=jax.tree_util.tree_map(jnp.asarray, nu))
+        if isinstance(s, dict):
+            return {k: walk(v) for k, v in s.items()}
+        if hasattr(s, "_fields"):   # NamedTuple optax states
+            return type(s)(*[walk(x) for x in s])
+        if isinstance(s, (list, tuple)):
+            return type(s)(walk(x) for x in s)
+        return s
+
+    import jax
+    return walk(opt_state)
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a reference .pth.tar checkpoint (requires torch, CPU map)."""
     import torch

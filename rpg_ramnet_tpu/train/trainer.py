@@ -97,14 +97,34 @@ class Trainer:
             return None
 
     def _resume(self, path: str):
-        params, opt_state, meta = self.ckpt.restore(path, self.params, self.opt_state)
-        self.params, self.opt_state = params, opt_state
+        if path.endswith(".pth.tar") or path.endswith(".pth"):
+            # resume directly from a REFERENCE torch checkpoint: weights via
+            # compat, Adam moments + step via import_torch_optimizer_state
+            # (exact continuation of a reference training run)
+            import jax.numpy as jnp
+            from ..compat import load_torch_checkpoint, state_dict_to_params
+            from ..compat.torch_import import import_torch_optimizer_state
+            ckpt = load_torch_checkpoint(path)
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray, state_dict_to_params(ckpt["state_dict"]))
+            if ckpt.get("optimizer"):
+                self.opt_state = import_torch_optimizer_state(
+                    ckpt, self.params, self.optimizer)
+            else:
+                self.opt_state = self.optimizer.init(self.params)
+            meta = {"epoch": int(ckpt.get("epoch", 0)),
+                    "monitor_best": ckpt.get("monitor_best")}
+        else:
+            params, opt_state, meta = self.ckpt.restore(path, self.params,
+                                                        self.opt_state)
+            self.params, self.opt_state = params, opt_state
         if self.mesh is not None:
             self.params = replicate(self.params, self.mesh)
             self.opt_state = replicate(self.opt_state, self.mesh)
         self.start_epoch = int(meta["epoch"]) + 1
-        if meta.get("monitor_best") is not None:
-            self.monitor_best = float(meta["monitor_best"])
+        mb = meta.get("monitor_best")
+        if mb is not None and np.isfinite(float(mb)):
+            self.monitor_best = float(mb)
         self.logger.info("Resumed from %s at epoch %d", path, self.start_epoch)
 
     # ------------------------------------------------------------------

@@ -31,8 +31,14 @@ def main():
 
     config_dict = None
     if args.resume is not None:
-        with open(join(args.resume, "meta.json")) as f:
-            config_dict = json.load(f)["config"]
+        if args.resume.endswith((".pth.tar", ".pth")):
+            # reference checkpoint: config is embedded (reference train.py:271)
+            import torch
+            config_dict = torch.load(args.resume, map_location="cpu",
+                                     weights_only=False).get("config")
+        else:
+            with open(join(args.resume, "meta.json")) as f:
+                config_dict = json.load(f)["config"]
     if args.config is not None:
         with open(args.config) as f:
             config_dict = json.load(f)
