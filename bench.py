@@ -213,24 +213,31 @@ def bench_voxelizer(n_events=1_000_000, num_bins=5, H=260, W=346,
     except Exception:
         pass
     backend = jax.default_backend()
+    import functools
+    pallas_bf16 = functools.partial(V.events_to_voxel_grid_pallas,
+                                    factor_dtype=jnp.bfloat16)
     kernels = {"pallas": V.events_to_voxel_grid_pallas,
+               "pallas_bf16": pallas_bf16,
                "scatter": V.events_to_voxel_grid_scatter} if backend != "cpu" \
         else {"scatter": V.events_to_voxel_grid_scatter}
 
     for name, kern in kernels.items():
-        @jax.jit
-        def run_n(events, n_valid, n, _kern=kern):
-            def body(i, carry):
-                # carry-dependent perturbation defeats loop-invariant hoisting
-                e = events.at[0, 0].add(carry * 1e-20)
-                g = _kern(e, n_valid, num_bins=num_bins, height=H, width=W)
-                return jnp.sum(jnp.abs(g))
-            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        try:
+            @jax.jit
+            def run_n(events, n_valid, n, _kern=kern):
+                def body(i, carry):
+                    # carry-dependent perturbation defeats loop-invariant hoisting
+                    e = events.at[0, 0].add(carry * 1e-20)
+                    g = _kern(e, n_valid, num_bins=num_bins, height=H, width=W)
+                    return jnp.sum(jnp.abs(g))
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        sec = _per_iter_seconds(run_n, (ev32, nv, n_lo), (ev32, nv, n_hi),
-                                n_lo, n_hi, repeats=2)
-        out[f"{backend}_{name}_mevs"] = n_events / sec / 1e6
-        out[f"{backend}_{name}_vs_cpu"] = out[f"{backend}_{name}_mevs"] / cpu_mevs
+            sec = _per_iter_seconds(run_n, (ev32, nv, n_lo), (ev32, nv, n_hi),
+                                    n_lo, n_hi, repeats=2)
+            out[f"{backend}_{name}_mevs"] = n_events / sec / 1e6
+            out[f"{backend}_{name}_vs_cpu"] = out[f"{backend}_{name}_mevs"] / cpu_mevs
+        except Exception as e:  # one variant must not lose the others
+            out[f"{backend}_{name}_error"] = str(e)[:300]
     return out
 
 

@@ -224,10 +224,14 @@ def _make_voxel_kernel(factor_dtype):
         for j in range(_SUBCHUNKS):
             rows = rows_ref[j, :]
             cols = cols_ref[j, :]
-            vals = vals_ref[j, :].astype(factor_dtype)
-            oh_rows = (rows[:, None] == row_iota).astype(factor_dtype)
-            p = vals[:, None] * (cols[:, None] == col_iota).astype(factor_dtype)
-            acc += lax.dot_general(oh_rows, p, (((0,), (0,)), ((), ())),
+            vals = vals_ref[j, :]
+            # build the 2D factors in f32, then cast: Mosaic only supports
+            # minor-dim insertion (the [:, None] broadcasts) for 32-bit types
+            oh_rows = (rows[:, None] == row_iota).astype(jnp.float32)
+            p = vals[:, None] * (cols[:, None] == col_iota).astype(jnp.float32)
+            acc += lax.dot_general(oh_rows.astype(factor_dtype),
+                                   p.astype(factor_dtype),
+                                   (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         out_ref[:] += acc
     return _voxel_kernel
