@@ -140,9 +140,14 @@ def main():
         run_batched_streaming(dataset, params, cfg.model, cfg.arch,
                               n_lanes=args.lanes, on_prediction=handle)
     else:
+        # one-item host prefetch: dataset IO overlaps device compute
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(1)
+        fut = pool.submit(dataset.__getitem__, 0) if n else None
         sequence_idx = 0
         for idx in range(n):
-            item, dataset_idx = dataset[idx]
+            item, dataset_idx = fut.result()
+            fut = pool.submit(dataset.__getitem__, idx + 1) if idx + 1 < n else None
             pkg = {"events": item["events"][0], "image": item["image"][0]}
             if cfg.use_phased_arch:
                 if "times_events" in item:
