@@ -1,0 +1,78 @@
+"""Evaluation extras: event-mask metric variants and SSIM."""
+import os
+import numpy as np
+import pytest
+
+from rpg_ramnet_tpu.eval.evaluation import evaluate_directories
+from rpg_ramnet_tpu.eval.metrics import structural_similarity, _ssim_single
+from rpg_ramnet_tpu.ops.depth import depth_to_log_np
+
+
+def _write_pairs(tmp_path, n=4, h=32, w=40, seed=0):
+    rng = np.random.RandomState(seed)
+    pred_dir = tmp_path / "pred"
+    gt_dir = tmp_path / "gt"
+    mask_dir = tmp_path / "masks"
+    for d in (pred_dir, gt_dir, mask_dir):
+        os.makedirs(d, exist_ok=True)
+    clip, reg = 80.0, 3.70378
+    for i in range(n):
+        depth = rng.uniform(2, 70, (h, w)).astype(np.float32)
+        noise = depth * (1 + rng.randn(h, w).astype(np.float32) * 0.05)
+        np.save(gt_dir / f"frame_{i:010d}.npy",
+                depth_to_log_np(depth, clip, reg)[None])
+        np.save(pred_dir / f"depth_{i:010d}.npy",
+                depth_to_log_np(noise, clip, reg)[None])
+        mask = (rng.rand(h, w, 3) > 0.5).astype(np.uint8) * 255
+        import cv2
+        cv2.imwrite(str(mask_dir / f"frame_{i:010d}.png"), mask)
+    return str(gt_dir), str(pred_dir), str(mask_dir), clip, reg
+
+
+def test_event_mask_evaluation(tmp_path):
+    gt, pred, masks, clip, reg = _write_pairs(tmp_path)
+    metrics = evaluate_directories(gt, pred, clip_distance=clip,
+                                   reg_factor=reg, crop_ymax=260,
+                                   event_masks=masks)
+    assert "_abs_rel_diff" in metrics
+    assert "event_masked_abs_rel_diff" in metrics
+    assert "event_masked_30_SILog" in metrics
+    # ~5% multiplicative noise -> abs-rel around 0.04, thresholds near 1
+    assert 0.01 < metrics["_abs_rel_diff"] < 0.12
+    assert metrics["_threshold_delta_1.25"] > 0.95
+    # masked variants are finite and plausible
+    assert 0.0 < metrics["event_masked_abs_rel_diff"] < 0.2
+
+
+def test_ssim_basics():
+    rng = np.random.RandomState(1)
+    a = rng.rand(1, 1, 24, 24).astype(np.float64)
+    # identical images -> 1
+    np.testing.assert_allclose(structural_similarity(a, a.copy()), 1.0,
+                               atol=1e-6)
+    # heavy noise -> clearly lower
+    b = a + rng.randn(*a.shape) * 0.5
+    assert structural_similarity(b, a) < 0.6
+
+
+def test_ssim_matches_bruteforce():
+    """Uniform-window SSIM vs a direct sliding-window implementation."""
+    rng = np.random.RandomState(2)
+    x = rng.rand(16, 18)
+    y = np.clip(x + rng.randn(16, 18) * 0.1, 0, 1)
+    win, dr = 7, 2.0
+    c1 = (0.01 * dr) ** 2
+    c2 = (0.03 * dr) ** 2
+    vals = []
+    cov_norm = win * win / (win * win - 1)
+    for i in range(16 - win + 1):
+        for j in range(18 - win + 1):
+            px = x[i:i + win, j:j + win].ravel()
+            py = y[i:i + win, j:j + win].ravel()
+            ux, uy = px.mean(), py.mean()
+            vx = cov_norm * (np.mean(px * px) - ux * ux)
+            vy = cov_norm * (np.mean(py * py) - uy * uy)
+            vxy = cov_norm * (np.mean(px * py) - ux * uy)
+            vals.append(((2 * ux * uy + c1) * (2 * vxy + c2)) /
+                        ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
+    np.testing.assert_allclose(_ssim_single(x, y), np.mean(vals), rtol=1e-8)
