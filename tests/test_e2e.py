@@ -141,6 +141,29 @@ def test_pth_tar_export_loads_into_reference(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cli_with_mesh(workspace, tmp_path):
+    """train.py with data-parallel mesh over 8 virtual CPU devices
+    (Trainer's replicate + per-key shard + packed-batch path)."""
+    ws = workspace
+    cfg = tiny_config_dict(str(tmp_path / "runs"), name="mesh_run")
+    cfg["data_loader"]["batch_size"] = 2
+    cfg["mesh"] = {"data": 2, "model": 1}
+    cfg_path = str(tmp_path / "mesh_config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    run([sys.executable, "train.py", "--config", cfg_path],
+        env_extra={
+            "PREPROCESSED_DATASETS_FOLDER": str(ws / "datasets"),
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        })
+    run_dir = join(str(tmp_path / "runs"), "mesh_run")
+    assert os.path.exists(join(run_dir, "model_best"))
+    with open(join(run_dir, "train_log.jsonl")) as f:
+        log = json.loads(f.readline())
+    assert np.isfinite(log["train_loss"])
+
+
+@pytest.mark.slow
 def test_mvsec_inference_cli(workspace, tmp_path):
     """BASELINE config 3 analog: streaming inference over MVSEC-format data
     (event_tensor_/depth_/frame_ naming, stamp quirks) through test.py."""
