@@ -26,13 +26,16 @@ def ensure_platform(default: str | None = None,
     prec = matmul_precision or os.environ.get("JAX_DEFAULT_MATMUL_PRECISION")
     if prec:
         jax.config.update("jax_default_matmul_precision", prec)
-    # persistent compilation cache (remote TPU compiles take minutes here)
+    # persistent compilation cache (remote TPU compiles take minutes here).
+    # TPU-only: cached CPU AOT artifacts can carry machine features the
+    # executing host lacks (SIGILL risk on heterogeneous fleets).
     cache_dir = os.environ.get("RAMNET_COMPILE_CACHE",
                                os.path.expanduser("~/.cache/ramnet_tpu_xla"))
-    if cache_dir and cache_dir != "0":
+    if cache_dir and cache_dir != "0" and (want or "") != "cpu":
         try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+            if jax.default_backend() != "cpu":
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         except Exception:
             pass
     return jax.default_backend()
