@@ -41,6 +41,7 @@ class ModelConfig:
     use_phased_arch: bool = False
     # --- TPU extras (no reference counterpart) ---
     compute_dtype: str = "float32"          # 'float32' | 'bfloat16'
+    fast_upsample: bool = False             # subpixel decoder (exact; see PERF.md)
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "ModelConfig":
@@ -68,6 +69,7 @@ class ModelConfig:
             spatial_resolution=tuple(d.get("spatial_resolution", (112, 112))),
             use_phased_arch=bool(d.get("use_phased_arch", False)),
             compute_dtype=str(d.get("compute_dtype", "float32")),
+            fast_upsample=bool(d.get("fast_upsample", False)),
         )
 
     @property

@@ -277,7 +277,10 @@ def forward_decoder(params, cfg: ModelConfig, state: StateNetState):
         if i > 0:
             x = _skip(cfg, x, _super_hidden(cfg, state.super_states[n - i - 1]))
         if cfg.use_upsample_conv:
-            x = L.upsample_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
+            if cfg.fast_upsample:
+                x = L.upsample_conv_layer_fast_apply(dec, x, 2, "relu", cfg.norm)
+            else:
+                x = L.upsample_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
         else:
             x = L.transposed_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
     pred = L.conv_layer_apply(params["pred"], x, 1, 0, None, cfg.norm)

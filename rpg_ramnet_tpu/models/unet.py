@@ -65,7 +65,10 @@ def forward(params, cfg: ModelConfig, x):
     for i, dec in enumerate(params["decoders"]):
         x = _skip(cfg, x, blocks[n - i - 1])
         if cfg.use_upsample_conv:
-            x = L.upsample_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
+            if cfg.fast_upsample:
+                x = L.upsample_conv_layer_fast_apply(dec, x, 2, "relu", cfg.norm)
+            else:
+                x = L.upsample_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
         else:
             x = L.transposed_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
     pred = L.conv_layer_apply(params["pred"], _skip(cfg, x, head), 1, 0, None, cfg.norm)
