@@ -34,8 +34,11 @@ def _save_png(path: str, img: np.ndarray):
     Image.fromarray(img).save(path)
 
 
-def _scene(idx: int, h: int, w: int, rng: np.random.RandomState):
-    """A deterministic moving-box scene: returns (depth[m], gray[0..255])."""
+def _scene(idx: int, h: int, w: int, rng: np.random.RandomState, seed: int = 0):
+    """A deterministic moving-box scene: returns (depth[m], gray[0..255]).
+    `seed` shifts the scene so different sequences have different depth/rgb
+    content (otherwise cross-implementation alignment bugs can hide)."""
+    idx = idx + 37 * seed
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     depth = 20.0 + 30.0 * (yy / h) + 5.0 * np.sin(xx / 7.0 + idx * 0.3)
     bx = int((idx * 3) % max(w - 12, 1))
@@ -78,7 +81,7 @@ def generate_eventscape_sequence(root: str, n_frames: int = 40, height: int = 64
             _write_timestamps(d, stamps)
 
     for i in range(n_frames):
-        depth, gray = _scene(i, height, width, rng)
+        depth, gray = _scene(i, height, width, rng, seed=seed)
         # raw events in (t_{i-1}, t_i]
         t0 = stamps[i] - dt
         t = np.sort(rng.uniform(t0, stamps[i], events_per_frame))

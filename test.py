@@ -35,6 +35,10 @@ def main():
     parser.add_argument("--decode_keys", type=str, default="",
                         help="comma list restricting decoded predictions "
                              "(e.g. 'image'; default: all, like the reference)")
+    parser.add_argument("--dataset_reg_factor", type=float, default=5.7,
+                        help="reg_factor for loading depth targets; the "
+                             "reference's test.py leaves this at the dataset "
+                             "default 5.7 regardless of config (its quirk)")
     args = parser.parse_args()
 
     if args.config is None:
@@ -71,7 +75,12 @@ def main():
         every_x_rgb_frame=vd.every_x_rgb_frame, normalize=cfg.normalize,
         scale_factor=vd.scale_factor, use_phased_arch=cfg.use_phased_arch,
         baseline=vd.baseline, loss_composition=cfg.trainer.loss_composition,
-        reg_factor=vd.reg_factor, recurrency=recurrency,
+        # reference quirk, reproduced for output parity: test.py:139-161 does
+        # NOT pass reg_factor to concatenate_subfolders, so its datasets load
+        # depth targets with the signature default 5.7 (train.py:40-41) even
+        # though the config says otherwise; the scale statistic below still
+        # uses the config's train reg_factor (test.py:168,371-378).
+        reg_factor=args.dataset_reg_factor, recurrency=recurrency,
         load_semantic=bool(args.output_path))
 
     params, _ = load_any(args.path_to_model)
