@@ -84,6 +84,38 @@ class TestVoxelizer:
         # bf16 vals round to ~3 decimal digits per contribution
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.05)
 
+    def test_sortseg_matches_scatter(self):
+        """Voxelizer v2 (sort + windowed segment-accumulate, the default TPU
+        backend: 164 Mev/s vs scatter's 73 on v5e)."""
+        ev = random_events(n=2500, height=self.H, width=self.W, seed=7).astype(np.float32)
+        a = ops.events_to_voxel_grid_scatter(
+            jnp.asarray(ev), jnp.int32(ev.shape[0]),
+            num_bins=self.NB, height=self.H, width=self.W)
+        b = ops.events_to_voxel_grid_sortseg(
+            jnp.asarray(ev), jnp.int32(ev.shape[0]),
+            num_bins=self.NB, height=self.H, width=self.W)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+    def test_sortseg_sparse_tail_and_padding(self):
+        """Sparse inputs exercise the while-loop correctness tail; padded
+        rows beyond n_valid must be ignored (their value is zero)."""
+        ev = random_events(n=64, height=260, width=346, seed=8).astype(np.float32)
+        padded = np.concatenate([ev, np.zeros((1984, 4), np.float32)])
+        a = ops.events_to_voxel_grid_sortseg(
+            jnp.asarray(padded), jnp.int32(64),
+            num_bins=self.NB, height=260, width=346)
+        ref = ops.events_to_voxel_grid_np(ev, self.NB, 260, 346)
+        np.testing.assert_allclose(np.asarray(a), ref, atol=1e-4, rtol=1e-4)
+
+    def test_sortseg_single_bin(self):
+        """num_bins=1: every right-bilinear contribution is out of range."""
+        ev = random_events(n=1500, height=self.H, width=self.W, seed=9).astype(np.float32)
+        a = ops.events_to_voxel_grid_sortseg(
+            jnp.asarray(ev), jnp.int32(ev.shape[0]),
+            num_bins=1, height=self.H, width=self.W)
+        ref = ops.events_to_voxel_grid_np(ev, 1, self.H, self.W)
+        np.testing.assert_allclose(np.asarray(a), ref, atol=1e-4, rtol=1e-4)
+
     def test_padded_events_ignored(self):
         ev = random_events(n=1000, height=self.H, width=self.W, seed=4).astype(np.float32)
         padded = np.concatenate([ev, np.zeros((500, 4), np.float32)])
