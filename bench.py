@@ -41,7 +41,8 @@ def _per_iter_seconds(run_n, args_lo, args_hi, n_lo, n_hi, repeats=3):
     return (hi - lo) / (n_hi - n_lo)
 
 
-def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32"):
+def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
+                  with_costs=False, fast_upsample=False, decode_keys=None):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -53,7 +54,8 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32"):
         "recurrent_block_type": "conv", "state_combination": "convgru",
         "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
         "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
-        "baseline": False, "compute_dtype": dtype})
+        "baseline": False, "compute_dtype": dtype,
+        "fast_upsample": fast_upsample})
     K = mcfg.every_x_rgb_frame
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
     state0 = ERGB2DepthRecurrent.init_state(mcfg, lanes, H, W)
@@ -71,7 +73,8 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32"):
             # would overstate streaming FPS
             eps = (i + 1).astype(jnp.float32) * 1e-9
             pkg_i = {"events": pkg["events"] + eps, "image": pkg["image"] + eps}
-            st, preds = ERGB2DepthRecurrent.forward_package(params, mcfg, st, pkg_i)
+            st, preds = ERGB2DepthRecurrent.forward_package(
+                params, mcfg, st, pkg_i, decode_keys=decode_keys)
             return st
         st = lax.fori_loop(0, n, body, state)
         return sum(jnp.sum(jnp.abs(s)) for s in jax.tree_util.tree_leaves(st))
@@ -79,8 +82,38 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32"):
     sec = _per_iter_seconds(run_n,
                             (params, state0, pkg, n_lo),
                             (params, state0, pkg, n_hi), n_lo, n_hi)
-    depth_maps_per_package = K + 1
-    return lanes * depth_maps_per_package / sec
+    depth_maps_per_package = len(decode_keys) if decode_keys else K + 1
+    fps = lanes * depth_maps_per_package / sec
+    if not with_costs:
+        return fps
+
+    # --- MFU / roofline accounting (analytic + XLA cost model) ------------
+    from rpg_ramnet_tpu.utils import costs as C
+    kind = jax.devices()[0].device_kind
+    peak_flops, peak_bw, _ = C.device_peaks(kind)
+    act_bytes = 2 if dtype == "bfloat16" else 4
+    ana = C.package_costs(mcfg, H, W, batch=lanes, act_bytes=act_bytes)
+    step_fn = jax.jit(lambda p, s, k: ERGB2DepthRecurrent.forward_package(
+        p, mcfg, s, k))
+    comp = C.compiled_costs(step_fn, params, state0, pkg)
+    out = {
+        "fps": fps,
+        "sec_per_package": sec,
+        "device_kind": kind,
+        "compute_dtype": dtype,
+        "analytic_flops_per_package": ana.flops,
+        "analytic_min_bytes_per_package": ana.bytes_min,
+        "xla_cost_flops_per_package": comp.get("flops"),
+        "xla_cost_bytes_per_package": comp.get("bytes"),
+        "achieved_tflops": ana.flops / sec / 1e12,
+        "mfu_vs_bf16_peak": ana.flops / sec / peak_flops,
+        "achieved_min_gbps": ana.bytes_min / sec / 1e9,
+        "hbm_bw_utilization_min": ana.bytes_min / sec / peak_bw,
+    }
+    if comp.get("bytes"):
+        out["achieved_xla_gbps"] = comp["bytes"] / sec / 1e9
+        out["hbm_bw_utilization_xla"] = comp["bytes"] / sec / peak_bw
+    return out
 
 
 def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4):
@@ -148,7 +181,30 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4):
     sec = _per_iter_seconds(run_n, (params, opt_state, batch, n_lo),
                             (params, opt_state, batch, n_hi), n_lo, n_hi,
                             repeats=2)
-    return B / sec  # sequences (TBPTT windows) per second
+
+    # measured peak HBM of the full training program (resolves any doubt
+    # about whether the reference recipe fits one chip) + train-side MFU
+    out = {"seq_per_sec": B / sec, "sec_per_window": sec / B}
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in ms:
+            out["peak_hbm_gib"] = ms["peak_bytes_in_use"] / 2 ** 30
+            out["hbm_limit_gib"] = ms.get("bytes_limit", 0) / 2 ** 30
+    except Exception:
+        pass
+    from rpg_ramnet_tpu.utils import costs as C
+    kind = jax.devices()[0].device_kind
+    peak_flops, peak_bw, _ = C.device_peaks(kind)
+    ana = C.train_window_costs(mcfg, H, W, batch=B, L=L,
+                               supervised_decodes=2, remat=True)
+    out.update({
+        "analytic_flops_per_step": ana.flops,
+        "achieved_tflops": ana.flops * (B / sec) / B / 1e12,
+        "mfu_vs_bf16_peak": ana.flops / sec / peak_flops,
+        "achieved_min_gbps": ana.bytes_min / sec / 1e9,
+        "hbm_bw_utilization_min": ana.bytes_min / sec / peak_bw,
+    })
+    return out
 
 
 def bench_torch_reference_fps(H=256, W=512, iters=3):
@@ -218,6 +274,7 @@ def bench_voxelizer(n_events=1_000_000, num_bins=5, H=260, W=346,
                                     factor_dtype=jnp.bfloat16)
     kernels = {"pallas": V.events_to_voxel_grid_pallas,
                "pallas_bf16": pallas_bf16,
+               "sortseg": V.events_to_voxel_grid_sortseg,
                "scatter": V.events_to_voxel_grid_scatter} if backend != "cpu" \
         else {"scatter": V.events_to_voxel_grid_scatter}
 
@@ -249,12 +306,21 @@ def main():
     # keep stdout clean for the single JSON result line — all sub-benchmarks
     # (incl. the chatty reference torch model constructor) log to stderr
     with contextlib.redirect_stdout(sys.stderr):
-        fps1 = bench_jax_fps(lanes=1)
+        single = bench_jax_fps(lanes=1, with_costs=True)
+        fps1 = single["fps"]
         details["jax_fps_single_stream"] = fps1
+        details["single_stream_roofline"] = single
         try:
             details["jax_fps_8lane_throughput"] = bench_jax_fps(lanes=8, n_hi=8)
         except Exception as e:  # memory-constrained fallbacks
             details["jax_fps_8lane_throughput_error"] = str(e)
+        try:
+            lanes_bf16 = bench_jax_fps(lanes=8, n_hi=8, dtype="bfloat16",
+                                       with_costs=True)
+            details["jax_fps_8lane_bf16_throughput"] = lanes_bf16["fps"]
+            details["lane8_bf16_roofline"] = lanes_bf16
+        except Exception as e:
+            details["jax_fps_8lane_bf16_throughput_error"] = str(e)
         try:
             details["jax_fps_single_stream_bf16"] = bench_jax_fps(
                 lanes=1, dtype="bfloat16")
@@ -271,9 +337,40 @@ def main():
         except Exception as e:
             details["voxelizer_error"] = str(e)
         try:
-            details["train_seq_per_sec_B8_L10_224"] = bench_train_step()
+            train = bench_train_step()
+            details["train_seq_per_sec_B8_L10_224"] = train["seq_per_sec"]
+            details["train_roofline"] = train
         except Exception as e:
             details["train_step_error"] = str(e)
+
+        # one profiler trace artifact of the streaming forward (PERF.md's
+        # bandwidth-bound claims are verifiable from it); tolerant of
+        # profiler transport limitations on tunneled devices
+        try:
+            import jax
+            import jax.numpy as jnp
+            from rpg_ramnet_tpu.core.config import ModelConfig
+            from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+            mcfg = ModelConfig.from_dict({
+                "num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
+                "recurrent_block_type": "conv", "state_combination": "convgru",
+                "num_encoders": 3, "base_num_channels": 32,
+                "num_residual_blocks": 2, "use_upsample_conv": True,
+                "norm": "none", "every_x_rgb_frame": 5, "baseline": False})
+            params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+            st = ERGB2DepthRecurrent.init_state(mcfg, 1, 256, 512)
+            rng2 = __import__("numpy").random.RandomState(0)
+            pkg = {"events": jnp.asarray(rng2.randn(1, 5, 256, 512, 5).astype("float32")),
+                   "image": jnp.asarray(rng2.rand(1, 256, 512, 1).astype("float32"))}
+            step = jax.jit(lambda p, s, k: ERGB2DepthRecurrent.forward_package(p, mcfg, s, k))
+            st2, _ = step(params, st, pkg)  # compile outside the trace
+            with jax.profiler.trace("./profile_trace"):
+                for _ in range(3):
+                    st2, preds = step(params, st2, pkg)
+                jax.block_until_ready(preds)
+            details["profile_trace"] = "./profile_trace"
+        except Exception as e:
+            details["profile_trace_error"] = str(e)[:300]
 
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)
