@@ -306,7 +306,10 @@ def main():
     # keep stdout clean for the single JSON result line — all sub-benchmarks
     # (incl. the chatty reference torch model constructor) log to stderr
     with contextlib.redirect_stdout(sys.stderr):
-        single = bench_jax_fps(lanes=1, with_costs=True)
+        # n_hi=42: the measured (hi-lo) window is ~260 ms of device time —
+        # single-digit trip counts showed ~7% run-to-run noise through the
+        # tunnel (dynamic trip count: one compile regardless)
+        single = bench_jax_fps(lanes=1, n_hi=42, with_costs=True)
         fps1 = single["fps"]
         details["jax_fps_single_stream"] = fps1
         details["single_stream_roofline"] = single
@@ -321,6 +324,15 @@ def main():
             details["lane8_bf16_roofline"] = lanes_bf16
         except Exception as e:
             details["jax_fps_8lane_bf16_throughput_error"] = str(e)
+        try:
+            # throughput mode at the measured MXU roofline (PERF.md round-2:
+            # 99.9% of bf16 peak at 32 lanes)
+            l32 = bench_jax_fps(lanes=32, n_hi=4, dtype="bfloat16",
+                                with_costs=True)
+            details["jax_fps_32lane_bf16_throughput"] = l32["fps"]
+            details["lane32_bf16_roofline"] = l32
+        except Exception as e:
+            details["jax_fps_32lane_bf16_throughput_error"] = str(e)
         try:
             details["jax_fps_single_stream_bf16"] = bench_jax_fps(
                 lanes=1, dtype="bfloat16")
