@@ -148,28 +148,99 @@ def conv_layer_init(key, in_ch, out_ch, kernel_size, norm=None, dtype=jnp.float3
     return p
 
 
-def _apply_norm(p, x, norm, eps=1e-5):
-    """Inference-mode BN / IN with tracked running stats (reference eval
-    semantics: BatchNorm2d affine, InstanceNorm2d(track_running_stats=True)
-    non-affine, submodules.py:21-24).  Training-mode batch-stat updates are
-    a mutable-state concern handled at the trainer level; the shipped
-    configs use norm='none'."""
+class NormCtx:
+    """Training-mode normalization context (pure-functional running stats).
+
+    The reference trains with torch BatchNorm2d / InstanceNorm2d(
+    track_running_stats=True) when configured (submodules.py:13-24):
+    normalization uses BATCH statistics (biased variance), running stats
+    update with momentum 0.1 using the UNBIASED variance.
+
+    `stats` holds the current running stats as a flat dict keyed by the
+    dotted param path of the norm dict (e.g. 'head_rgb.norm_layer'); it is
+    typically part of a lax.scan carry so per-call sequential updates match
+    torch exactly across a TBPTT window.  `out` collects the updated stats
+    during tracing — sound under jit because the call order is deterministic
+    and the values are consumed functionally by the caller in the same trace.
+    """
+
+    def __init__(self, stats, momentum: float = 0.1):
+        self.stats = stats
+        self.out = {}
+        self.momentum = momentum
+
+    def fetch(self, path, fallback):
+        # a layer applied several times per package (e.g. head_events for
+        # k event steps) must see its own earlier update, like torch's
+        # in-place buffer momentum applied per call
+        if path in self.out:
+            return self.out[path]
+        return self.stats.get(path, fallback)
+
+
+def _train_bn(nl, x, eps, ctx, path):
+    """torch BatchNorm2d .train(): normalize by batch stats, update running
+    stats (unbiased var) with momentum."""
+    m = jnp.mean(x, axis=(0, 1, 2))
+    v = jnp.mean(jnp.square(x - m), axis=(0, 1, 2))
+    y = (x - m) * lax.rsqrt(v + eps) * nl["weight"] + nl["bias"]
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    unbiased = v * (n / max(n - 1, 1))
+    old = ctx.fetch(path, nl)
+    mom = ctx.momentum
+    ctx.out[path] = {
+        "running_mean": (1 - mom) * old["running_mean"] + mom * m,
+        "running_var": (1 - mom) * old["running_var"] + mom * unbiased,
+    }
+    return y
+
+
+def _train_in(nl, x, eps, ctx, path):
+    """torch InstanceNorm2d(track_running_stats=True) .train(): normalize
+    each instance by its own (H, W) stats; running stats update with the
+    batch mean of the per-instance stats (unbiased var over H*W)."""
+    m = jnp.mean(x, axis=(1, 2), keepdims=True)          # [B,1,1,C]
+    v = jnp.mean(jnp.square(x - m), axis=(1, 2), keepdims=True)
+    y = (x - m) * lax.rsqrt(v + eps)
+    n = x.shape[1] * x.shape[2]
+    unbiased = v * (n / max(n - 1, 1))
+    old = ctx.fetch(path, nl)
+    mom = ctx.momentum
+    ctx.out[path] = {
+        "running_mean": (1 - mom) * old["running_mean"]
+        + mom * jnp.mean(m[:, 0, 0, :], axis=0),
+        "running_var": (1 - mom) * old["running_var"]
+        + mom * jnp.mean(unbiased[:, 0, 0, :], axis=0),
+    }
+    return y
+
+
+def _apply_norm(p, x, norm, eps=1e-5, ctx=None, path=""):
+    """BN / IN matching the reference's torch semantics
+    (submodules.py:21-24): eval mode uses the tracked running stats
+    (BatchNorm2d affine, InstanceNorm2d(track_running_stats=True)
+    non-affine); with a NormCtx (training) batch statistics are used and
+    running-stat updates are collected into the ctx."""
+    if norm not in ("BN", "IN"):
+        return x
+    nl = p["norm_layer"]
+    if ctx is not None:
+        # `path` is the dotted param path of the norm-stats dict itself
+        fn = _train_bn if norm == "BN" else _train_in
+        return fn(nl, x, eps, ctx, path)
     if norm == "BN":
-        nl = p["norm_layer"]
         inv = lax.rsqrt(nl["running_var"] + eps)
         return (x - nl["running_mean"]) * inv * nl["weight"] + nl["bias"]
-    if norm == "IN":
-        nl = p["norm_layer"]
-        inv = lax.rsqrt(nl["running_var"] + eps)
-        return (x - nl["running_mean"]) * inv
-    return x
+    inv = lax.rsqrt(nl["running_var"] + eps)
+    return (x - nl["running_mean"]) * inv
 
 
 def conv_layer_apply(p, x, stride=1, padding=0, activation="relu", norm=None,
-                     input_layout="NHWC"):
+                     input_layout="NHWC", ctx=None, path=""):
     out = conv2d(x, p["conv2d"]["weight"], p["conv2d"].get("bias"), stride,
                  padding, input_layout)
-    out = _apply_norm(p, out, norm)
+    out = _apply_norm(p, out, norm, ctx=ctx,
+                      path=path + ".norm_layer" if path else "norm_layer")
     return _activation_fn(activation)(out)
 
 
@@ -214,7 +285,8 @@ def _phase_kernels(w):
     return out
 
 
-def upsample_conv_layer_fast_apply(p, x, padding=2, activation="relu", norm=None):
+def upsample_conv_layer_fast_apply(p, x, padding=2, activation="relu",
+                                   norm=None, ctx=None, path=""):
     """Exact fast equivalent of upsample_conv_layer_apply (bilinear 2x +
     5x5 conv, padding=2): interior via four 4x4 phase convolutions at low
     resolution, borders restitched from 4-pixel slabs of the reference op."""
@@ -256,14 +328,17 @@ def upsample_conv_layer_fast_apply(p, x, padding=2, activation="relu", norm=None
 
     if b is not None:
         y = y + b.astype(y.dtype)
-    y = _apply_norm(p, y, norm)
+    y = _apply_norm(p, y, norm, ctx=ctx,
+                    path=path + ".norm_layer" if path else "norm_layer")
     return _activation_fn(activation)(y)
 
 
-def upsample_conv_layer_apply(p, x, padding=2, activation="relu", norm=None):
+def upsample_conv_layer_apply(p, x, padding=2, activation="relu", norm=None,
+                              ctx=None, path=""):
     out = conv2d(upsample2x_bilinear(x), p["conv2d"]["weight"],
                  p["conv2d"].get("bias"), 1, padding)
-    out = _apply_norm(p, out, norm)
+    out = _apply_norm(p, out, norm, ctx=ctx,
+                      path=path + ".norm_layer" if path else "norm_layer")
     return _activation_fn(activation)(out)
 
 
@@ -291,10 +366,12 @@ def transposed_conv_layer_init(key, in_ch, out_ch, kernel_size, norm=None, dtype
     return p
 
 
-def transposed_conv_layer_apply(p, x, padding=2, activation="relu", norm=None):
+def transposed_conv_layer_apply(p, x, padding=2, activation="relu", norm=None,
+                                ctx=None, path=""):
     out = conv2d_transpose(x, p["transposed_conv2d"]["weight"],
                            p["transposed_conv2d"].get("bias"), 2, padding, 1)
-    out = _apply_norm(p, out, norm)
+    out = _apply_norm(p, out, norm, ctx=ctx,
+                      path=path + ".norm_layer" if path else "norm_layer")
     return _activation_fn(activation)(out)
 
 
@@ -323,18 +400,23 @@ def residual_block_init(key, in_ch, out_ch, norm=None, dtype=jnp.float32):
     return p
 
 
-def residual_block_apply(p, x, norm=None, eps=1e-5):
+def residual_block_apply(p, x, norm=None, eps=1e-5, ctx=None, path=""):
+    # reference ResidualBlock IN is InstanceNorm2d() WITHOUT running stats
+    # (submodules.py:193-194): per-instance stats in BOTH train and eval,
+    # so no ctx handling is needed for IN here (torch semantics)
     residual = x
     out = conv2d(x, p["conv1"]["weight"], p["conv1"].get("bias"), 1, 1)
     if norm == "BN":
-        out = _apply_norm({"norm_layer": p["bn1"]}, out, norm)
+        out = _apply_norm({"norm_layer": p["bn1"]}, out, norm, ctx=ctx,
+                          path=path + ".bn1" if path else "bn1")
     elif norm == "IN":
         out = (out - jnp.mean(out, (1, 2), keepdims=True)) * lax.rsqrt(
             jnp.var(out, (1, 2), keepdims=True) + eps)
     out = jax.nn.relu(out)
     out = conv2d(out, p["conv2"]["weight"], p["conv2"].get("bias"), 1, 1)
     if norm == "BN":
-        out = _apply_norm({"norm_layer": p["bn2"]}, out, norm)
+        out = _apply_norm({"norm_layer": p["bn2"]}, out, norm, ctx=ctx,
+                          path=path + ".bn2" if path else "bn2")
     elif norm == "IN":
         out = (out - jnp.mean(out, (1, 2), keepdims=True)) * lax.rsqrt(
             jnp.var(out, (1, 2), keepdims=True) + eps)
@@ -435,8 +517,10 @@ def recurrent2_conv_layer_init(key, in_ch, out_ch, kernel_size=5,
 
 
 def recurrent2_conv_layer_apply(p, x, prev_state, stride=2, padding=2,
-                                recurrent_block_type="convlstm", norm=None):
-    x = conv_layer_apply(p["conv"], x, stride, padding, "relu", norm)
+                                recurrent_block_type="convlstm", norm=None,
+                                ctx=None, path=""):
+    x = conv_layer_apply(p["conv"], x, stride, padding, "relu", norm,
+                         ctx=ctx, path=path + ".conv" if path else "conv")
     if recurrent_block_type == "convlstm":
         state = conv_lstm_apply(p["recurrent_block"], x, prev_state)
         return state[0], state
@@ -603,3 +687,57 @@ def phased_lstm_gate_apply(p, c_s, h_s, c0, h0, t, leak=0.001, ratio_on=0.1):
     c_new = k * c_s + (1.0 - k) * c0
     h_new = k * h_s + (1.0 - k) * h0
     return h_new, c_new
+
+
+# ---------------------------------------------------------------------------
+# norm running-stats extraction / merge (training-mode BN/IN support)
+# ---------------------------------------------------------------------------
+
+
+def extract_norm_stats(params):
+    """Flat {dotted-path: {'running_mean', 'running_var'}} view of every
+    tracked-stats norm in a param tree — the initial NormCtx.stats / scan
+    carry for training-mode BN/IN."""
+    out = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "running_mean" in node and "running_var" in node:
+                out[path] = {"running_mean": node["running_mean"],
+                             "running_var": node["running_var"]}
+                return
+            for k, v in node.items():
+                walk(v, f"{path}.{k}" if path else k)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{path}.{i}" if path else str(i))
+
+    walk(params, "")
+    return out
+
+
+def merge_norm_stats(params, stats):
+    """Write updated running stats back into a param tree (inverse of
+    extract_norm_stats).  Returns a new tree; unlisted paths are untouched."""
+    import jax
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "running_mean" in node and "running_var" in node:
+                if path in stats:
+                    upd = stats[path]
+                    node = dict(node)
+                    node["running_mean"] = upd["running_mean"]
+                    node["running_var"] = upd["running_var"]
+                return node
+            return {k: walk(v, f"{path}.{k}" if path else k)
+                    for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, f"{path}.{i}" if path else str(i))
+                    for i, v in enumerate(node)]
+        if isinstance(node, tuple):
+            return tuple(walk(v, f"{path}.{i}" if path else str(i))
+                         for i, v in enumerate(node))
+        return node
+
+    return walk(params, "")

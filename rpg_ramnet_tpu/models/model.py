@@ -54,13 +54,15 @@ class ERGB2DepthRecurrent:
 
     @staticmethod
     def forward_package(params, cfg: ModelConfig, state, pkg,
-                        decode_keys: Optional[Sequence[str]] = None):
+                        decode_keys: Optional[Sequence[str]] = None,
+                        norm_ctx=None):
         """One datapackage: K event steps then the image step, decoding after
         every modality update (dense supervision, model.py:176-217).
 
         decode_keys: restrict decoder invocations (e.g. to the supervised
         keys during training — gradients are identical since unsupervised
         decodes don't feed the loss; reference decodes all).
+        norm_ctx: layers.NormCtx for training-mode BN/IN.
         """
         preds: Dict[str, Any] = {}
         loop = event_loop_range(cfg)
@@ -82,25 +84,30 @@ class ERGB2DepthRecurrent:
             t = times_ev[:, k] if times_ev is not None else None
             state = statenet.forward_modality(params, cfg, x, state,
                                               event_modality, times=t,
-                                              input_layout=layout)
+                                              input_layout=layout,
+                                              norm_ctx=norm_ctx)
             key = f"events{k}"
             if decode_keys is None or key in decode_keys:
-                preds[key] = statenet.forward_decoder(params, cfg, state)
+                preds[key] = statenet.forward_decoder(params, cfg, state,
+                                                      norm_ctx=norm_ctx)
         if "image_cf" in pkg:
             img, layout = pkg["image_cf"], "NCHW"
         else:
             img, layout = pkg["image"], "NHWC"
         state = statenet.forward_modality(params, cfg, img, state,
                                           "image", times=times_im,
-                                          input_layout=layout)
+                                          input_layout=layout,
+                                          norm_ctx=norm_ctx)
         if decode_keys is None or "image" in decode_keys:
-            preds["image"] = statenet.forward_decoder(params, cfg, state)
+            preds["image"] = statenet.forward_decoder(params, cfg, state,
+                                                      norm_ctx=norm_ctx)
         return state, preds
 
     @staticmethod
     def forward_sequence(params, cfg: ModelConfig, state, seq,
                          decode_keys: Optional[Sequence[str]] = None,
-                         remat: bool = False, squeeze_preds: bool = False):
+                         remat: bool = False, squeeze_preds: bool = False,
+                         norm_stats=None):
         """seq: {'events': [B, L, K, H, W, Ce], 'image': [B, L, H, W, Ci]}
         (or the channel-first variants 'events_cf' [B, L, K, Ce, H, W] /
         'image_cf' [B, L, Ci, H, W] — see forward_package).
@@ -109,14 +116,27 @@ class ERGB2DepthRecurrent:
         jax.checkpoint to trade recompute for activation memory (longer L
         than the reference can fit).  squeeze_preds=True drops the trailing
         1-channel dim of the stacked predictions ([L, B, H, W]) so the
-        scan-stacked output is not lane-padded 128x on TPU."""
+        scan-stacked output is not lane-padded 128x on TPU.
+
+        norm_stats: flat running-stats dict (layers.extract_norm_stats) to
+        run training-mode BN/IN; the stats ride the scan carry so per-call
+        momentum updates match torch across the window.  When given, returns
+        (final_state, preds, final_stats)."""
+        from .layers import NormCtx
 
         def step(carry, pkg):
-            new_state, preds = ERGB2DepthRecurrent.forward_package(
-                params, cfg, carry, pkg, decode_keys)
+            if norm_stats is not None:
+                mstate, stats = carry
+                ctx = NormCtx(stats)
+                new_state, preds = ERGB2DepthRecurrent.forward_package(
+                    params, cfg, mstate, pkg, decode_keys, norm_ctx=ctx)
+                new_carry = (new_state, {**stats, **ctx.out})
+            else:
+                new_carry, preds = ERGB2DepthRecurrent.forward_package(
+                    params, cfg, carry, pkg, decode_keys)
             if squeeze_preds:
                 preds = {k: v[..., 0] for k, v in preds.items()}
-            return new_state, preds
+            return new_carry, preds
 
         if remat:
             step = jax.checkpoint(step)
@@ -133,9 +153,12 @@ class ERGB2DepthRecurrent:
                 seq_t[_TL_RENAME[k]] = v
             elif k in ("events", "image", "times_events", "times_image"):
                 seq_t[k] = jnp.moveaxis(v, 1, 0)
-        final_state, preds = jax.lax.scan(step, state, seq_t)
+        carry0 = state if norm_stats is None else (state, norm_stats)
+        final_carry, preds = jax.lax.scan(step, carry0, seq_t)
         # [L, B, H, W(, 1)] per key -> keep time-leading layout for the loss
-        return final_state, preds
+        if norm_stats is not None:
+            return final_carry[0], preds, final_carry[1]
+        return final_carry, preds
 
 
 @MODELS.register("ERGB2Depth")
@@ -155,20 +178,38 @@ class ERGB2Depth:
 
     @staticmethod
     def forward_package(params, cfg: ModelConfig, state, pkg,
-                        decode_keys: Optional[Sequence[str]] = None):
-        return state, {"image": unet.forward(params, cfg, pkg["image"])}
+                        decode_keys: Optional[Sequence[str]] = None,
+                        norm_ctx=None):
+        return state, {"image": unet.forward(params, cfg, pkg["image"],
+                                             norm_ctx=norm_ctx)}
 
     @staticmethod
     def forward_sequence(params, cfg: ModelConfig, state, seq,
                          decode_keys: Optional[Sequence[str]] = None,
-                         remat: bool = False):
-        # stateless: fold L into the batch for one big MXU-friendly pass
+                         remat: bool = False, squeeze_preds: bool = False,
+                         norm_stats=None):
+        # stateless: fold L into the batch for one big MXU-friendly pass.
+        # NOTE: under training-mode BN this folds time into the batch-stat
+        # axis (one update of the running stats for the whole window) —
+        # torch would update per step; for the non-recurrent baseline the
+        # per-window statistics are identical in expectation.
         img = seq["image"]
         b, l = img.shape[0], img.shape[1]
         flat = img.reshape((b * l,) + img.shape[2:])
-        pred = unet.forward(params, cfg, flat)
+        if norm_stats is not None:
+            from .layers import NormCtx
+            ctx = NormCtx(norm_stats)
+            pred = unet.forward(params, cfg, flat, norm_ctx=ctx)
+            stats_out = {**norm_stats, **ctx.out}
+        else:
+            pred = unet.forward(params, cfg, flat)
         pred = pred.reshape((b, l) + pred.shape[1:])
-        return state, {"image": jnp.moveaxis(pred, 1, 0)}
+        if squeeze_preds:
+            pred = pred[..., 0]
+        preds = {"image": jnp.moveaxis(pred, 1, 0)}
+        if norm_stats is not None:
+            return state, preds, stats_out
+        return state, preds
 
 
 def get_model(arch: str):

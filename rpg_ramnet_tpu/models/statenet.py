@@ -84,9 +84,11 @@ def init_params(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict[str, Any]:
     p: Dict[str, Any] = {}
     nb = cfg.base_num_channels
 
-    p["head_rgb"] = L.conv_layer_init(next(keys), cfg.num_bins_rgb, nb, 5, cfg.norm, dtype)
+    # heads are norm-FREE in the reference regardless of config
+    # (statenet.py:139-146: ConvLayer(...) without the norm arg)
+    p["head_rgb"] = L.conv_layer_init(next(keys), cfg.num_bins_rgb, nb, 5, None, dtype)
     if not cfg.is_baseline:
-        p["head_events"] = L.conv_layer_init(next(keys), cfg.num_bins_events, nb, 5, cfg.norm, dtype)
+        p["head_events"] = L.conv_layer_init(next(keys), cfg.num_bins_events, nb, 5, None, dtype)
 
     enc_rgb, enc_ev = [], []
     comb_img, comb_ev = [], []
@@ -178,12 +180,15 @@ def _super_hidden(cfg: ModelConfig, s):
 
 
 def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
-                     modality: str, times=None, input_layout: str = "NHWC"):
+                     modality: str, times=None, input_layout: str = "NHWC",
+                     norm_ctx=None):
     """One encoder sweep of one modality, updating the shared super states.
 
     modality: 'events' -> head_events/encoders_events/state_combination_events
               'image'  -> head_rgb/encoders_rgb/state_combination_images
     Reference: statenet.py forward_events:204-239 / forward_images:241-288.
+    norm_ctx: layers.NormCtx for training-mode BN/IN (batch stats + running
+    stat collection); None = eval semantics.
     Returns (new_state, None).
     """
     is_events = modality == "events"
@@ -192,14 +197,19 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
         encoders = params["encoders_events"]
         combs = params.get("state_combination_events", [])
         enc_states = state.events.encoders
+        head_name, enc_name = "head_events", "encoders_events"
+        comb_name = "state_combination_events"
     else:
         head_p = params["head_rgb"]
         encoders = params["encoders_rgb"]
         combs = params.get("state_combination_images", [])
         enc_states = state.image.encoders
+        head_name, enc_name = "head_rgb", "encoders_rgb"
+        comb_name = "state_combination_images"
 
     x = x.astype(compute_dtype(cfg))
-    x = L.conv_layer_apply(head_p, x, 1, 2, "relu", cfg.norm,
+    # head has no norm (statenet.py:139-146)
+    x = L.conv_layer_apply(head_p, x, 1, 2, "relu", None,
                            input_layout=input_layout)
 
     new_supers: List[Any] = []
@@ -207,7 +217,8 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
     for i in range(cfg.num_encoders):
         prev_super = state.super_states[i]
         if cfg.recurrent_block_type == "conv":
-            x = L.conv_layer_apply(encoders[i], x, 2, 2, "relu", cfg.norm)
+            x = L.conv_layer_apply(encoders[i], x, 2, 2, "relu", cfg.norm,
+                                   ctx=norm_ctx, path=f"{enc_name}.{i}")
         elif cfg.use_phased_arch:
             t = times if times is not None else jnp.zeros((x.shape[0],), x.dtype)
             x, enc_st = L.recurrent_phased_conv_layer_apply(
@@ -215,7 +226,8 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
             new_enc_states.append(enc_st)
         else:  # convlstm encoder
             x, enc_st = L.recurrent2_conv_layer_apply(
-                encoders[i], x, enc_states[i], 2, 2, "convlstm", cfg.norm)
+                encoders[i], x, enc_states[i], 2, 2, "convlstm", cfg.norm,
+                ctx=norm_ctx, path=f"{enc_name}.{i}")
             new_enc_states.append(enc_st)
 
         if cfg.is_baseline and not is_events:
@@ -226,7 +238,8 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
                     combs[i], x, prev_super, cfg.state_combination)
             elif cfg.state_combination == "conv":
                 x = L.conv_layer_apply(
-                    combs[i], jnp.concatenate([x, prev_super], -1), 1, 2, "relu", cfg.norm)
+                    combs[i], jnp.concatenate([x, prev_super], -1), 1, 2,
+                    "relu", cfg.norm, ctx=norm_ctx, path=f"{comb_name}.{i}")
             elif cfg.state_combination == "sum":
                 x = x + prev_super
             new_supers.append(x)
@@ -241,7 +254,8 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
                     combs[i], x, prev_super, "convgru")
             elif cfg.state_combination == "conv":
                 super_state = L.conv_layer_apply(
-                    combs[i], jnp.concatenate([x, prev_super], -1), 1, 2, "relu", cfg.norm)
+                    combs[i], jnp.concatenate([x, prev_super], -1), 1, 2,
+                    "relu", cfg.norm, ctx=norm_ctx, path=f"{comb_name}.{i}")
             elif cfg.state_combination == "sum":
                 super_state = x + prev_super
             else:
@@ -262,7 +276,8 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
     return new_state
 
 
-def forward_decoder(params, cfg: ModelConfig, state: StateNetState):
+def forward_decoder(params, cfg: ModelConfig, state: StateNetState,
+                    norm_ctx=None):
     """Shared decoder over the current super states (statenet.py:290-315).
 
     First decoder consumes the deepest super state (no skip); subsequent
@@ -270,19 +285,27 @@ def forward_decoder(params, cfg: ModelConfig, state: StateNetState):
     activation (sigmoid), NO head skip.
     """
     x = _super_hidden(cfg, state.super_states[-1])
-    for rb in params["resblocks"]:
-        x = L.residual_block_apply(rb, x, cfg.norm)
+    for ri, rb in enumerate(params["resblocks"]):
+        x = L.residual_block_apply(rb, x, cfg.norm,
+                                   ctx=norm_ctx, path=f"resblocks.{ri}")
     n = cfg.num_encoders
     for i, dec in enumerate(params["decoders"]):
         if i > 0:
             x = _skip(cfg, x, _super_hidden(cfg, state.super_states[n - i - 1]))
         if cfg.use_upsample_conv:
             if cfg.fast_upsample:
-                x = L.upsample_conv_layer_fast_apply(dec, x, 2, "relu", cfg.norm)
+                x = L.upsample_conv_layer_fast_apply(
+                    dec, x, 2, "relu", cfg.norm,
+                    ctx=norm_ctx, path=f"decoders.{i}")
             else:
-                x = L.upsample_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
+                x = L.upsample_conv_layer_apply(
+                    dec, x, 2, "relu", cfg.norm,
+                    ctx=norm_ctx, path=f"decoders.{i}")
         else:
-            x = L.transposed_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
-    pred = L.conv_layer_apply(params["pred"], x, 1, 0, None, cfg.norm)
+            x = L.transposed_conv_layer_apply(
+                dec, x, 2, "relu", cfg.norm,
+                ctx=norm_ctx, path=f"decoders.{i}")
+    pred = L.conv_layer_apply(params["pred"], x, 1, 0, None, cfg.norm,
+                              ctx=norm_ctx, path="pred")
     # predictions/losses stay float32 regardless of compute dtype
     return L._activation_fn(cfg.activation)(pred.astype(jnp.float32))

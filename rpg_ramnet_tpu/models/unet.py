@@ -19,7 +19,8 @@ def init_params(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict[str, Any]:
     keys = iter(jax.random.split(key, 64))
     p: Dict[str, Any] = {}
     nb = cfg.base_num_channels
-    p["head"] = L.conv_layer_init(next(keys), cfg.num_bins_rgb, nb, 5, cfg.norm, dtype)
+    # head is norm-free in the reference regardless of config (unet.py:93-94)
+    p["head"] = L.conv_layer_init(next(keys), cfg.num_bins_rgb, nb, 5, None, dtype)
     p["encoders"] = [
         L.conv_layer_init(next(keys), in_c, out_c, 5, cfg.norm, dtype)
         for in_c, out_c in zip(cfg.encoder_input_sizes, cfg.encoder_output_sizes)
@@ -49,27 +50,37 @@ def _skip(cfg: ModelConfig, x1, x2):
     return x1
 
 
-def forward(params, cfg: ModelConfig, x):
-    """x: [N, H, W, num_bins_rgb] -> [N, H, W, 1] in [0, 1]."""
+def forward(params, cfg: ModelConfig, x, norm_ctx=None):
+    """x: [N, H, W, num_bins_rgb] -> [N, H, W, 1] in [0, 1].
+    norm_ctx: layers.NormCtx for training-mode BN/IN (None = eval)."""
     from .statenet import compute_dtype
     x = x.astype(compute_dtype(cfg))
-    x = L.conv_layer_apply(params["head"], x, 1, 2, "relu", cfg.norm)
+    x = L.conv_layer_apply(params["head"], x, 1, 2, "relu", None)
     head = x
     blocks = []
-    for enc in params["encoders"]:
-        x = L.conv_layer_apply(enc, x, 2, 2, "relu", cfg.norm)
+    for ei, enc in enumerate(params["encoders"]):
+        x = L.conv_layer_apply(enc, x, 2, 2, "relu", cfg.norm,
+                               ctx=norm_ctx, path=f"encoders.{ei}")
         blocks.append(x)
-    for rb in params["resblocks"]:
-        x = L.residual_block_apply(rb, x, cfg.norm)
+    for ri, rb in enumerate(params["resblocks"]):
+        x = L.residual_block_apply(rb, x, cfg.norm,
+                                   ctx=norm_ctx, path=f"resblocks.{ri}")
     n = cfg.num_encoders
     for i, dec in enumerate(params["decoders"]):
         x = _skip(cfg, x, blocks[n - i - 1])
         if cfg.use_upsample_conv:
             if cfg.fast_upsample:
-                x = L.upsample_conv_layer_fast_apply(dec, x, 2, "relu", cfg.norm)
+                x = L.upsample_conv_layer_fast_apply(
+                    dec, x, 2, "relu", cfg.norm,
+                    ctx=norm_ctx, path=f"decoders.{i}")
             else:
-                x = L.upsample_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
+                x = L.upsample_conv_layer_apply(
+                    dec, x, 2, "relu", cfg.norm,
+                    ctx=norm_ctx, path=f"decoders.{i}")
         else:
-            x = L.transposed_conv_layer_apply(dec, x, 2, "relu", cfg.norm)
-    pred = L.conv_layer_apply(params["pred"], _skip(cfg, x, head), 1, 0, None, cfg.norm)
+            x = L.transposed_conv_layer_apply(
+                dec, x, 2, "relu", cfg.norm,
+                ctx=norm_ctx, path=f"decoders.{i}")
+    pred = L.conv_layer_apply(params["pred"], _skip(cfg, x, head), 1, 0, None,
+                              cfg.norm, ctx=norm_ctx, path="pred")
     return L._activation_fn(cfg.activation)(pred.astype(jnp.float32))

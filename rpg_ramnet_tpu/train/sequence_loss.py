@@ -93,11 +93,18 @@ def _target_for(batch: Dict[str, Any], key: str):
     return jnp.moveaxis(t, 1, 0)
 
 
-def make_sequence_loss(cfg: Config, remat: bool = False):
+def make_sequence_loss(cfg: Config, remat: bool = False,
+                       training: bool = True):
     """Returns loss_fn(params, state0, batch) -> (scalar, aux_dict).
 
     batch: {'events': [B,L,K,H,W,Ce], 'image': [B,L,H,W,Ci],
             'depth_events': [B,L,K,H,W,1], 'depth_image': [B,L,H,W,1]}
+
+    training=True + cfg.model.norm in (BN, IN): the forward uses batch
+    statistics and aux['norm_stats'] carries the updated running stats
+    (torch .train() semantics); training=False keeps eval semantics
+    (running stats), as the reference's _valid_epoch does under
+    model.eval().
     """
     model = get_model(cfg.arch)
     mcfg = cfg.model
@@ -110,6 +117,11 @@ def make_sequence_loss(cfg: Config, remat: bool = False):
     use_grad = cfg.grad_loss_weight is not None
     use_mse = cfg.mse_loss_weight is not None
     num_keys = max(len(keys), 1)
+    # training-mode BN/IN: batch statistics in the forward, running-stat
+    # updates carried through the scan and returned via aux['norm_stats']
+    # (reference trains torch .train() when norm is configured,
+    # submodules.py:13-24)
+    train_norm = training and mcfg.norm in ("BN", "IN")
 
     def loss_fn(params, state0, batch):
         seq_in = {k: batch[k] for k in
@@ -117,9 +129,18 @@ def make_sequence_loss(cfg: Config, remat: bool = False):
                    "times_events", "times_image", "times_events_t",
                    "times_image_t")
                   if k in batch}
-        _, preds = model.forward_sequence(params, mcfg, state0, seq_in,
-                                          decode_keys=keys, remat=remat,
-                                          squeeze_preds=True)
+        norm_stats_out = None
+        if train_norm:
+            from ..models.layers import extract_norm_stats
+            stats0 = extract_norm_stats(params)
+            _, preds, norm_stats_out = model.forward_sequence(
+                params, mcfg, state0, seq_in, decode_keys=keys, remat=remat,
+                squeeze_preds=True, norm_stats=stats0)
+            norm_stats_out = jax.lax.stop_gradient(norm_stats_out)
+        else:
+            _, preds = model.forward_sequence(params, mcfg, state0, seq_in,
+                                              decode_keys=keys, remat=remat,
+                                              squeeze_preds=True)
         if "image_tcf" in batch:
             l_steps = batch["image_tcf"].shape[0]
         else:
@@ -173,6 +194,8 @@ def make_sequence_loss(cfg: Config, remat: bool = False):
         if use_mse:
             aux["L_mse"] = total_mse
         aux.update(per_key)
+        if norm_stats_out is not None:
+            aux["norm_stats"] = norm_stats_out
         return loss, aux
 
     return loss_fn

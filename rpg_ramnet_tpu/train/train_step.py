@@ -83,6 +83,14 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
             aux = jax.tree_util.tree_map(lambda a: a / accum, aux)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        # training-mode BN/IN: write the running stats updated during the
+        # forward back into the param tree (buffers, not gradients — the
+        # reference's torch buffers update in-place during .train() forward).
+        # Under grad accumulation the stats are micro-batch averages.
+        norm_stats = aux.pop("norm_stats", None)
+        if norm_stats is not None:
+            from ..models.layers import merge_norm_stats
+            new_params = merge_norm_stats(new_params, norm_stats)
         aux["grad_norm"] = optax.global_norm(grads)
         return new_params, new_opt_state, aux
 
@@ -102,8 +110,9 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
 
 
 def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None):
-    """Validation loss over a window (no grads)."""
-    loss_fn = make_sequence_loss(cfg)
+    """Validation loss over a window (no grads; eval-mode norms, as the
+    reference validates under model.eval())."""
+    loss_fn = make_sequence_loss(cfg, training=False)
     model = get_model(cfg.arch)
     mcfg = cfg.model
 
