@@ -143,6 +143,7 @@ class TrainerConfig:
     still_previews: bool = False
     movie: bool = True
     grid_loss: bool = False
+    state_preview: bool = False   # '--record' state-change figures (lstm_trainer.py:49,295-377)
     loss_composition: Union[bool, Sequence[str]] = False
     loss_weights: Sequence[float] = (1.0,)
     # TPU extras
@@ -168,6 +169,7 @@ class TrainerConfig:
             still_previews=bool(d.get("still_previews", False)),
             movie=bool(d.get("movie", True)),
             grid_loss=bool(d.get("grid_loss", False)),
+            state_preview=bool(d.get("state_preview", False)),
             loss_composition=lc,
             loss_weights=tuple(d.get("loss_weights", (1.0,))),
             legacy_loss_scaling=bool(d.get("legacy_loss_scaling", False)),

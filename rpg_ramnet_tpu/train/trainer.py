@@ -201,10 +201,88 @@ class Trainer:
                     np.concatenate(list(np.nan_to_num(gt)), axis=1)], axis=0)
                 self.tb.add_image(f"{tag_prefix}{p_i}_{key}__input_pred_gt",
                                   grid[None], epoch)
+                if self.cfg.trainer.movie:
+                    # per-epoch prediction movie at fps=5: each frame is
+                    # input|prediction|gt side by side (reference
+                    # lstm_trainer.py:133-150 make_movie + :518-523 add_video;
+                    # GIF-encoded directly — moviepy is absent here)
+                    from ..utils.training_utils import add_video_gif
+                    frames = np.concatenate([
+                        np.clip(inp * 0.5 + 0.5, 0, 1), pred,
+                        np.nan_to_num(gt)], axis=-1)         # [L, H, 3W]
+                    video = frames[None, :, None]            # [1, T, 1, H, 3W]
+                    add_video_gif(
+                        self.tb,
+                        f"movie_{p_i}__{key}__prediction__groundtruth",
+                        video, fps=5, global_step=epoch)
+                # metric vector accumulation: the reference evaluates the
+                # FIRST timestep of each key per preview sample
+                # (lstm_trainer.py:516: predicted_targets[key][0] vs
+                # groundtruth_targets[0]) — same here
                 for mi, (_, fn) in enumerate(metric_fns):
                     total_metrics[mi] += fn(pred[0][None, None], gt[0][None, None])
         for (name, _), v in zip(metric_fns, total_metrics / max(num_previews, 1)):
             self.tb.add_scalar(f"{tag_prefix}metric_{name}", float(v), epoch)
+
+    def _write_state_previews(self, epoch: int, loader: BatchLoader):
+        """'--record' state-change visualizations: per-scale super-state
+        deltas between consecutive modality updates, 98th-percentile
+        normalized, 3 channel slices upsampled to a common grid (reference
+        lstm_trainer.py:295-377), at window steps {1, L/2, L-1}."""
+        if self.tb is None or len(loader.dataset) == 0:
+            return
+        from scipy.ndimage import zoom as nd_zoom
+        from ..models import statenet
+        mcfg = self.cfg.model
+        item, _ = loader.dataset[0]
+        L_steps = item["image"].shape[0]
+        h, w = item["image"].shape[1], item["image"].shape[2]
+        params = jax.device_get(self.params) if self.mesh else self.params
+        state = self.model.init_state(mcfg, 1, h, w)
+        is_recurrent = hasattr(state, "super_states")
+        if not is_recurrent:
+            return
+        K = mcfg.every_x_rgb_frame
+
+        def state_change_grid(prev, cur):
+            rows = []
+            for i in range(len(cur.super_states)):
+                c = cur.super_states[i]
+                p = prev.super_states[i]
+                if isinstance(c, tuple):
+                    c, p = c[0], p[0]
+                delta = np.asarray(c[0] - p[0])          # [h_i, w_i, C]
+                delta = np.moveaxis(delta, -1, 0)        # [C, h_i, w_i]
+                p98 = np.percentile(np.abs(delta), 98)
+                delta = np.clip(delta / (p98 + 1e-8), -1, 1)
+                dim = delta.shape[0]
+                slices = delta[(0, dim // 2, dim - 1), :, :]
+                slices = nd_zoom(slices, (1, 2 ** i, 2 ** i), order=1)
+                rows.append(np.concatenate(list(slices), axis=1))
+            return np.concatenate(rows, axis=0)
+
+        grids = {}
+        record_steps = {1, L_steps // 2, L_steps - 1}
+        for l in range(L_steps):
+            pkg_states = [state]
+            for k in range(K):
+                state = statenet.forward_modality(
+                    params, mcfg, jax.numpy.asarray(item["events"][None, l, k]),
+                    state, "image" if mcfg.is_baseline else "events")
+                pkg_states.append(state)
+            state = statenet.forward_modality(
+                params, mcfg, jax.numpy.asarray(item["image"][None, l]),
+                state, "image")
+            pkg_states.append(state)
+            if l in record_steps and l > 0:
+                keys = [f"events{k}" for k in range(K)] + ["image"]
+                for ki, key in enumerate(keys):
+                    g = state_change_grid(pkg_states[ki], pkg_states[ki + 1])
+                    grids.setdefault(key, []).append(g)
+        for key, gs in grids.items():
+            grid = np.concatenate(gs, axis=1)
+            self.tb.add_image(f"state_change_{key}",
+                              (np.clip(grid, -1, 1)[None] + 1) / 2, epoch)
 
     def _write_histograms(self, epoch: int):
         """Per-epoch weight/grad histograms + gradient-flow figure
@@ -261,6 +339,8 @@ class Trainer:
                                                  self.valid_loader,
                                                  cfg.trainer.num_val_previews)
                         self._write_histograms(epoch)
+                    if cfg.trainer.state_preview:
+                        self._write_state_previews(epoch, self.train_loader)
                 except Exception as e:
                     self.logger.warning("preview writing failed: %s", e)
 

@@ -77,3 +77,30 @@ def plot_grad_flow_bars(grads):
     ax.set_title("Gradient flow")
     fig.tight_layout()
     return fig
+
+
+def add_video_gif(tb, tag: str, video, fps: int, global_step: int):
+    """TensorBoard video summary WITHOUT moviepy (absent in this image;
+    torch's add_video silently no-ops without it).  A TB 'video' is just a
+    GIF inside an image summary — encode it with PIL and emit the proto
+    directly.  video: [1, T, C, H, W] float in [0, 1].
+    Capability parity with reference lstm_trainer.py:518-523 (fps=5)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+    from tensorboard.compat.proto.summary_pb2 import Summary
+
+    v = (np.clip(np.asarray(video), 0, 1) * 255).astype(np.uint8)
+    t, c, h, w = v.shape[1:]
+    frames = [Image.fromarray(v[0, i, 0] if c == 1
+                              else np.moveaxis(v[0, i], 0, -1))
+              for i in range(t)]
+    buf = io.BytesIO()
+    frames[0].save(buf, format="GIF", save_all=True,
+                   append_images=frames[1:],
+                   duration=max(int(1000 / fps), 1), loop=0)
+    image = Summary.Image(height=h, width=w, colorspace=c,
+                          encoded_image_string=buf.getvalue())
+    tb._get_file_writer().add_summary(
+        Summary(value=[Summary.Value(tag=tag, image=image)]), global_step)
