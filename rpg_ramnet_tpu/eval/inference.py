@@ -180,11 +180,15 @@ class BatchedStreamingInference:
         self._fwd = jax.jit(fwd)
 
     def step(self, pkg: Dict[str, Any], reset_mask: np.ndarray):
-        """pkg: {'events': [N,K,H,W,C], 'image': [N,H,W,C]};
-        reset_mask: [N] bool."""
-        self.state, preds = self._fwd(self.params, self.state,
-                                      {"events": jnp.asarray(pkg["events"]),
-                                       "image": jnp.asarray(pkg["image"])},
+        """pkg: {'events': [N,K,H,W,C], 'image': [N,H,W,C], optional
+        'times_events' [N,K] / 'times_image' [N] for the phased
+        (irregular-timestamp) regime}; reset_mask: [N] bool."""
+        dev_pkg = {"events": jnp.asarray(pkg["events"]),
+                   "image": jnp.asarray(pkg["image"])}
+        for tk in ("times_events", "times_image"):
+            if tk in pkg:
+                dev_pkg[tk] = jnp.asarray(pkg[tk])
+        self.state, preds = self._fwd(self.params, self.state, dev_pkg,
                                       jnp.asarray(reset_mask))
         return preds
 
@@ -216,11 +220,18 @@ def run_batched_streaming(dataset, params, cfg: ModelConfig,
     item0, _ = dataset[0]
     ev_zero = np.zeros_like(item0["events"][0])
     im_zero = np.zeros_like(item0["image"][0])
+    # phased (irregular-timestamp) regime: lane-batch the continuous
+    # timestamps too (reference statenet.py:204,241 `times` args)
+    use_times = cfg.use_phased_arch and "times_events" in item0
+    if use_times:
+        tev_zero = np.zeros_like(item0["times_events"][0])
+        tim_zero = np.zeros((), np.float32)
     h, w = item0["image"].shape[1], item0["image"].shape[2]
     engine = BatchedStreamingInference(params, cfg, n_lanes, h, w, arch)
 
     for t in range(max_len):
         ev_list, im_list, resets, metas = [], [], [], []
+        tev_list, tim_list = [], []
         for lane in range(n_lanes):
             if t < len(lane_items[lane]):
                 gidx, seq_pos = lane_items[lane][t]
@@ -228,12 +239,21 @@ def run_batched_streaming(dataset, params, cfg: ModelConfig,
                 metas.append((lane, gidx, seq_pos, item))
                 ev_list.append(item["events"][0])
                 im_list.append(item["image"][0])
+                if use_times:
+                    tev_list.append(np.atleast_1d(item["times_events"][0]))
+                    tim_list.append(np.float32(np.asarray(item["times_image"][0]).ravel()[0]))
                 resets.append(seq_pos == 0)
             else:
                 ev_list.append(ev_zero)
                 im_list.append(im_zero)
+                if use_times:
+                    tev_list.append(np.atleast_1d(tev_zero))
+                    tim_list.append(tim_zero)
                 resets.append(True)
         pkg = {"events": np.stack(ev_list), "image": np.stack(im_list)}
+        if use_times:
+            pkg["times_events"] = np.stack(tev_list)
+            pkg["times_image"] = np.stack(tim_list)
         preds = engine.step(pkg, np.asarray(resets))
         if on_prediction is not None:
             preds_np = {k: np.asarray(v) for k, v in preds.items()}

@@ -89,3 +89,53 @@ def test_sequence_scan_equals_streaming(test_split):
             np.testing.assert_allclose(scan_preds[k][t], sp[k],
                                        atol=1e-5, rtol=1e-5,
                                        err_msg=f"t={t} key={k}")
+
+
+def test_batched_phased_times_equals_single_lane(tmp_path):
+    """Phased (irregular-timestamp) regime through the LANE-BATCHED path:
+    times_events/times_image are lane-stacked and fed to the PhasedLSTM
+    gates; outputs must equal single-lane streaming exactly (round-2 fix:
+    run_batched_streaming previously dropped the times inputs)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_phased_model import phased_config
+    from rpg_ramnet_tpu.data.synthetic import generate_eventscape_sequence
+
+    root = tmp_path / "phased_split"
+    for s in range(2):
+        generate_eventscape_sequence(str(root / f"seq{s:02d}"), n_frames=12,
+                                     height=32, width=32,
+                                     events_per_frame=200, seed=s)
+    cfg = phased_config(spatial=(32, 32))
+    mcfg = cfg.model
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(3), mcfg)
+    dataset = concatenate_subfolders(
+        str(root), "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+        "depth/data", "rgb/data", sequence_length=1, step_size=1,
+        clip_distance=80.0, every_x_rgb_frame=3, reg_factor=3.70378,
+        use_phased_arch=True, transform=CenterCrop(32))
+
+    single = {}
+    engine = StreamingInference(params, mcfg)
+    prev_d = -1
+    for idx in range(len(dataset)):
+        item, d = dataset[idx]
+        if d != prev_d:
+            engine.reset(1, 32, 32)
+            prev_d = d
+        preds = engine.step({"events": item["events"][0],
+                             "image": item["image"][0],
+                             "times_events": item["times_events"][0],
+                             "times_image": item["times_image"][0]})
+        single[idx] = preds["image"]
+
+    batched = {}
+    run_batched_streaming(
+        dataset, params, mcfg, n_lanes=2,
+        on_prediction=lambda gidx, preds, item, seq_pos: batched.__setitem__(
+            gidx, preds["image"]))
+
+    assert set(batched) == set(single)
+    for idx in single:
+        np.testing.assert_allclose(batched[idx], single[idx],
+                                   atol=1e-5, rtol=1e-5, err_msg=f"idx={idx}")
