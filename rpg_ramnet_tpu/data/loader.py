@@ -84,23 +84,63 @@ def _stack_items(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([it[k] for it in items]) for k in keys}
 
 
+# --- process-worker plumbing (module-level so it pickles under 'spawn') ---
+_WORKER_DATASET = None
+
+
+def _proc_worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _proc_load_item(idx: int, seed: int):
+    return _WORKER_DATASET.get(int(idx), seed=seed)[0]
+
+
 class BatchLoader:
     """Shuffled epoch iterator over a ConcatSequenceDataset producing
     batched numpy dicts ('events' [B,L,K,H,W,C], 'image' [B,L,H,W,C], ...).
 
-    num_workers threads prefetch items; drop_last semantics match torch's
-    default (False) unless requested."""
+    num_workers workers prefetch items; drop_last semantics match torch's
+    default (False) unless requested.
+
+    worker_mode: 'thread' (default; decode is numpy/PIL which release the
+    GIL for the heavy parts) or 'process' (the reference's DataLoader uses
+    4 process workers, train.py:192-196 — use this when per-item Python
+    overhead, not IO, is the bottleneck on many-core hosts).  Batches are
+    bit-identical across modes (same per-(seed, epoch, index) augmentation
+    seeds)."""
 
     def __init__(self, dataset: ConcatSequenceDataset, batch_size: int,
                  shuffle: bool = True, num_workers: int = 4,
-                 drop_last: bool = False, seed: int = 0):
+                 drop_last: bool = False, seed: int = 0,
+                 worker_mode: str = "thread"):
+        assert worker_mode in ("thread", "process"), worker_mode
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.seed = seed
+        self.worker_mode = worker_mode
         self.epoch = 0
+        self._proc_pool = None
+
+    def _get_proc_pool(self):
+        """Long-lived spawn pool (fork is unsafe once jax/XLA threads
+        exist); the dataset ships once via the initializer."""
+        if self._proc_pool is None:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            self._proc_pool = ProcessPoolExecutor(
+                self.num_workers, mp_context=mp.get_context("spawn"),
+                initializer=_proc_worker_init, initargs=(self.dataset,))
+        return self._proc_pool
+
+    def close(self):
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown()
+            self._proc_pool = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -125,17 +165,19 @@ class BatchLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
 
         epoch = self.epoch  # snapshot (self.epoch already advanced)
-        with ThreadPoolExecutor(self.num_workers) as pool:
+
+        def item_seed(i):
+            # deterministic per-(seed, epoch, index) augmentation seed:
+            # reproducible epochs, no shared global RNG across workers;
+            # PYTHONHASHSEED-independent so thread/process modes agree
+            import zlib
+            return zlib.crc32(f"{self.seed}/{epoch}/{int(i)}".encode()) & 0x7FFFFFFF
+
+        def run(pool, submit):
             depth = 2  # batches in flight
 
-            def load_item(i):
-                # deterministic per-(seed, epoch, index) augmentation seed:
-                # reproducible epochs, no shared global RNG across threads
-                item_seed = (hash((self.seed, epoch, int(i))) & 0x7FFFFFFF)
-                return self.dataset.get(int(i), seed=item_seed)[0]
-
             def schedule(idxs):
-                return [pool.submit(load_item, i) for i in idxs]
+                return [submit(pool, int(i), item_seed(i)) for i in idxs]
 
             it = iter(batches)
             inflight = []
@@ -149,6 +191,16 @@ class BatchLoader:
                 if b is not None:
                     inflight.append(schedule(b))
                 yield _stack_items([f.result() for f in futs])
+
+        if self.worker_mode == "process":
+            pool = self._get_proc_pool()
+            yield from run(pool, lambda p, i, s: p.submit(_proc_load_item, i, s))
+        else:
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                yield from run(
+                    pool,
+                    lambda p, i, s: p.submit(
+                        lambda ii, ss: self.dataset.get(ii, seed=ss)[0], i, s))
 
 
 def device_prefetch(iterator: Iterator, size: int = 2, sharding=None,

@@ -163,3 +163,29 @@ def test_raw_events_nonrecurrent_package(es_split):
     item = ds[0]
     assert item["image"].shape == (48, 64, 6)  # 5 voxel bins + gray
     assert item["depth_image"].shape == (48, 64, 1)
+
+
+def test_process_workers_match_thread_workers(tmp_path):
+    """worker_mode='process' (the reference's DataLoader used 4 process
+    workers, train.py:192-196) must produce bit-identical batches to the
+    thread mode — same per-(seed, epoch, index) augmentation seeds."""
+    from rpg_ramnet_tpu.data.synthetic import generate_split
+    root = str(tmp_path / "pw")
+    generate_split(root, n_sequences=2, n_frames=14, height=32, width=48,
+                   events_per_frame=150)
+    def make(mode):
+        ds = D.concatenate_subfolders(
+            root, "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+            "depth/data", "rgb/data", sequence_length=2, step_size=2,
+            clip_distance=80.0, every_x_rgb_frame=2, reg_factor=3.70378,
+            transform=D.CenterCrop(32))
+        return D.BatchLoader(ds, batch_size=2, shuffle=True, num_workers=2,
+                             seed=11, worker_mode=mode)
+    lt, lp = make("thread"), make("process")
+    try:
+        for bt, bp in zip(lt, lp):
+            assert set(bt) == set(bp)
+            for k in bt:
+                np.testing.assert_array_equal(bt[k], bp[k], err_msg=k)
+    finally:
+        lp.close()
