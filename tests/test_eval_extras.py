@@ -76,3 +76,47 @@ def test_ssim_matches_bruteforce():
             vals.append(((2 * ux * uy + c1) * (2 * vxy + c2)) /
                         ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
     np.testing.assert_allclose(_ssim_single(x, y), np.mean(vals), rtol=1e-8)
+
+
+class TestDisplayMath:
+    """LUT math of the interactive displays (image_display_utils.py) —
+    the GUI classes are headless-gated, but every transform they apply is
+    testable standalone."""
+
+    def test_gamma_lut_identity_and_monotone(self):
+        from rpg_ramnet_tpu.eval.display import gamma_lut, apply_gamma
+        lut1 = gamma_lut(1.0)
+        np.testing.assert_array_equal(lut1, np.arange(256, dtype=np.uint8))
+        for g in (0.5, 2.2):
+            lut = gamma_lut(g)
+            assert lut[0] == 0 and lut[255] == 255
+            assert np.all(np.diff(lut.astype(int)) >= 0)
+        img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        out = apply_gamma(img, 2.2)
+        # gamma>1 with the 1/gamma LUT darkens midtones? inverse convention:
+        # the display applies x^(1/gamma) (brightens for gamma>1)
+        assert out[8, 0] >= img[8, 0]
+
+    def test_contrast_brightness_clips(self):
+        from rpg_ramnet_tpu.eval.display import apply_contrast_brightness
+        img = np.full((4, 4), 200, np.uint8)
+        out = apply_contrast_brightness(img, contrast=2.0, brightness=10.0)
+        assert out.dtype == np.uint8 and np.all(out == 255)
+        out = apply_contrast_brightness(img, contrast=0.5, brightness=-50.0)
+        assert np.all(out == 50)
+
+    def test_depth_display_modes(self):
+        from rpg_ramnet_tpu.eval.display import depth_to_display
+        depth = np.linspace(0.1, 0.9, 64).reshape(8, 8).astype(np.float32)
+        lin = depth_to_display(depth, "linear")
+        inv = depth_to_display(depth, "inverse")
+        loginv = depth_to_display(depth, "log_inverse")
+        assert lin.dtype == inv.dtype == loginv.dtype == np.uint8
+        # nearer (smaller log depth) must display BRIGHTER in inverse modes
+        assert inv[0, 0] > inv[-1, -1]
+        assert loginv[0, 0] > loginv[-1, -1]
+        assert lin[0, 0] < lin[-1, -1]
+
+    # NOTE: constructing ImageDisplay in a headless build can abort inside
+    # cv2's C layer (not a catchable Python exception), so the GUI classes
+    # stay unconstructed here; only their math is tested.
