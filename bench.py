@@ -116,10 +116,12 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
     return out
 
 
-def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4):
+def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
+                     dtype="float32", remat=True):
     """Full TBPTT training-step throughput (the reference recipe: batch 8,
     sequence 10, 224x224 random crops, SI + multi-scale-grad loss) in
-    sequences/sec.  Loop-in-jit timing like the fps bench."""
+    sequences/sec.  Loop-in-jit timing like the fps bench.
+    dtype='bfloat16': bf16 activations, f32 params/loss (mixed precision)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -145,14 +147,14 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4):
                   "recurrent_block_type": "conv", "state_combination": "convgru",
                   "num_encoders": 3, "base_num_channels": 32,
                   "num_residual_blocks": 2, "use_upsample_conv": True,
-                  "norm": "none"},
+                  "norm": "none", "compute_dtype": dtype},
     })
     mcfg = cfg.model
     K = mcfg.every_x_rgb_frame
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
     opt = make_optimizer(cfg)
     opt_state = opt.init(params)
-    loss_fn = make_sequence_loss(cfg, remat=True)
+    loss_fn = make_sequence_loss(cfg, remat=remat)
     rng = np.random.RandomState(0)
     # TPU training layout: channel-first inputs + squeezed depth targets
     # (see train/sequence_loss.pack_train_batch and PERF.md)
@@ -196,7 +198,7 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4):
     kind = jax.devices()[0].device_kind
     peak_flops, peak_bw, _ = C.device_peaks(kind)
     ana = C.train_window_costs(mcfg, H, W, batch=B, L=L,
-                               supervised_decodes=2, remat=True)
+                               supervised_decodes=2, remat=remat)
     out.update({
         "analytic_flops_per_step": ana.flops,
         "achieved_tflops": ana.flops * (B / sec) / B / 1e12,
@@ -354,6 +356,14 @@ def main():
             details["train_roofline"] = train
         except Exception as e:
             details["train_step_error"] = str(e)
+        try:
+            # mixed-precision training (bf16 activations, f32 params/loss):
+            # +24% at B=8, +36% at B=16 over the fp32 recipe (PERF.md)
+            train_bf16 = bench_train_step(dtype="bfloat16")
+            details["train_bf16_seq_per_sec_B8_L10_224"] = train_bf16["seq_per_sec"]
+            details["train_bf16_roofline"] = train_bf16
+        except Exception as e:
+            details["train_bf16_error"] = str(e)
 
         # one profiler trace artifact of the streaming forward (PERF.md's
         # bandwidth-bound claims are verifiable from it); tolerant of
