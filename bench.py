@@ -117,7 +117,7 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
 
 
 def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
-                     dtype="float32", remat=True):
+                     dtype="float32", remat=True, remat_chunk=1):
     """Full TBPTT training-step throughput (the reference recipe: batch 8,
     sequence 10, 224x224 random crops, SI + multi-scale-grad loss) in
     sequences/sec.  Loop-in-jit timing like the fps bench.
@@ -142,7 +142,7 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
         "grad_loss": {"weight": 0.25},
         "trainer": {"epochs": 1, "sequence_length": L,
                     "loss_composition": ["image", "events4"],
-                    "loss_weights": [1, 1]},
+                    "loss_weights": [1, 1], "remat_chunk": remat_chunk},
         "model": {"num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
                   "recurrent_block_type": "conv", "state_combination": "convgru",
                   "num_encoders": 3, "base_num_channels": 32,

@@ -150,6 +150,7 @@ class TrainerConfig:
     legacy_loss_scaling: bool = False   # replicate reference loss-aliasing scale (x num_keys)
     log_every: int = 25
     remat: bool = True                  # jax.checkpoint per TBPTT step (activation memory)
+    remat_chunk: int = 1                # packages per checkpoint (recompute/memory trade)
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "TrainerConfig":
@@ -175,6 +176,7 @@ class TrainerConfig:
             legacy_loss_scaling=bool(d.get("legacy_loss_scaling", False)),
             log_every=int(d.get("log_every", 25)),
             remat=bool(d.get("remat", True)),
+            remat_chunk=int(d.get("remat_chunk", 1)),
         )
 
 

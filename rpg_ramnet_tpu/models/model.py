@@ -107,7 +107,7 @@ class ERGB2DepthRecurrent:
     def forward_sequence(params, cfg: ModelConfig, state, seq,
                          decode_keys: Optional[Sequence[str]] = None,
                          remat: bool = False, squeeze_preds: bool = False,
-                         norm_stats=None):
+                         norm_stats=None, remat_chunk: int = 1):
         """seq: {'events': [B, L, K, H, W, Ce], 'image': [B, L, H, W, Ci]}
         (or the channel-first variants 'events_cf' [B, L, K, Ce, H, W] /
         'image_cf' [B, L, Ci, H, W] — see forward_package).
@@ -118,13 +118,18 @@ class ERGB2DepthRecurrent:
         1-channel dim of the stacked predictions ([L, B, H, W]) so the
         scan-stacked output is not lane-padded 128x on TPU.
 
+        remat_chunk: checkpoint every `remat_chunk` packages instead of
+        every package — the backward recompute fraction drops from 1 extra
+        forward per step to 1/remat_chunk, at remat_chunk x the live
+        activation memory.  Requires L % remat_chunk == 0.
+
         norm_stats: flat running-stats dict (layers.extract_norm_stats) to
         run training-mode BN/IN; the stats ride the scan carry so per-call
         momentum updates match torch across the window.  When given, returns
         (final_state, preds, final_stats)."""
         from .layers import NormCtx
 
-        def step(carry, pkg):
+        def one_package(carry, pkg):
             if norm_stats is not None:
                 mstate, stats = carry
                 ctx = NormCtx(stats)
@@ -137,6 +142,20 @@ class ERGB2DepthRecurrent:
             if squeeze_preds:
                 preds = {k: v[..., 0] for k, v in preds.items()}
             return new_carry, preds
+
+        if remat_chunk > 1:
+            def step(carry, pkgs):
+                # python-unrolled inner loop over the chunk (fusion-friendly)
+                outs = []
+                for j in range(remat_chunk):
+                    pkg_j = jax.tree_util.tree_map(lambda v: v[j], pkgs)
+                    carry, preds = one_package(carry, pkg_j)
+                    outs.append(preds)
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *outs)
+                return carry, stacked
+        else:
+            step = one_package
 
         if remat:
             step = jax.checkpoint(step)
@@ -153,8 +172,21 @@ class ERGB2DepthRecurrent:
                 seq_t[_TL_RENAME[k]] = v
             elif k in ("events", "image", "times_events", "times_image"):
                 seq_t[k] = jnp.moveaxis(v, 1, 0)
+        if remat_chunk > 1:
+            # group the time axis: [L, ...] -> [L/chunk, chunk, ...]
+            def group(v):
+                assert v.shape[0] % remat_chunk == 0, \
+                    (v.shape, remat_chunk, "L must be divisible by remat_chunk")
+                return v.reshape((v.shape[0] // remat_chunk, remat_chunk)
+                                 + v.shape[1:])
+            seq_t = jax.tree_util.tree_map(group, seq_t)
         carry0 = state if norm_stats is None else (state, norm_stats)
         final_carry, preds = jax.lax.scan(step, carry0, seq_t)
+        if remat_chunk > 1:
+            # [L/chunk, chunk, B, ...] -> [L, B, ...]
+            preds = jax.tree_util.tree_map(
+                lambda v: v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:]),
+                preds)
         # [L, B, H, W(, 1)] per key -> keep time-leading layout for the loss
         if norm_stats is not None:
             return final_carry[0], preds, final_carry[1]
@@ -187,8 +219,9 @@ class ERGB2Depth:
     def forward_sequence(params, cfg: ModelConfig, state, seq,
                          decode_keys: Optional[Sequence[str]] = None,
                          remat: bool = False, squeeze_preds: bool = False,
-                         norm_stats=None):
-        # stateless: fold L into the batch for one big MXU-friendly pass.
+                         norm_stats=None, remat_chunk: int = 1):
+        # stateless: fold L into the batch for one big MXU-friendly pass
+        # (remat/remat_chunk are no-ops here).
         # NOTE: under training-mode BN this folds time into the batch-stat
         # axis (one update of the running stats for the whole window) —
         # torch would update per step; for the non-recurrent baseline the

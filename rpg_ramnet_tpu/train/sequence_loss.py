@@ -129,18 +129,20 @@ def make_sequence_loss(cfg: Config, remat: bool = False,
                    "times_events", "times_image", "times_events_t",
                    "times_image_t")
                   if k in batch}
+        rc = max(int(getattr(cfg.trainer, "remat_chunk", 1)), 1)
         norm_stats_out = None
         if train_norm:
             from ..models.layers import extract_norm_stats
             stats0 = extract_norm_stats(params)
             _, preds, norm_stats_out = model.forward_sequence(
                 params, mcfg, state0, seq_in, decode_keys=keys, remat=remat,
-                squeeze_preds=True, norm_stats=stats0)
+                squeeze_preds=True, norm_stats=stats0, remat_chunk=rc)
             norm_stats_out = jax.lax.stop_gradient(norm_stats_out)
         else:
             _, preds = model.forward_sequence(params, mcfg, state0, seq_in,
                                               decode_keys=keys, remat=remat,
-                                              squeeze_preds=True)
+                                              squeeze_preds=True,
+                                              remat_chunk=rc)
         if "image_tcf" in batch:
             l_steps = batch["image_tcf"].shape[0]
         else:

@@ -212,3 +212,35 @@ def test_eval_step():
     ev = make_eval_step(cfg)
     aux = ev(params, make_batch(cfg))
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_remat_chunk_equivalence():
+    """remat_chunk groups packages per checkpoint (recompute/memory trade);
+    loss and grads must be identical to the per-package scan."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+    cfg1 = tiny_config()
+    cfg2 = tiny_config()
+    cfg2.raw.setdefault("trainer", {})["remat_chunk"] = 2
+    from rpg_ramnet_tpu.core.config import Config
+    cfg2 = Config.from_dict({**cfg2.raw,
+                             "trainer": {**cfg2.raw["trainer"], "remat_chunk": 2}})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg1.model)
+    rng = np.random.RandomState(0)
+    B, L, K, H, W = 2, 2, 3, 16, 16
+    batch = {"events": jnp.asarray(rng.randn(B, L, K, H, W, 5).astype(np.float32)),
+             "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+             "depth_events": jnp.asarray(rng.rand(B, L, K, H, W, 1).astype(np.float32)),
+             "depth_image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32))}
+    state0 = ERGB2DepthRecurrent.init_state(cfg1.model, B, H, W)
+    outs = {}
+    for name, cfg in (("chunk1", cfg1), ("chunk2", cfg2)):
+        loss_fn = make_sequence_loss(cfg, remat=True)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state0, batch)
+        outs[name] = (float(loss), grads)
+    assert abs(outs["chunk1"][0] - outs["chunk2"][0]) < 1e-6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-6),
+        outs["chunk1"][1], outs["chunk2"][1])
