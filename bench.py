@@ -67,7 +67,8 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
 
     @jax.jit
     def run_n(params, state, pkg, n):
-        def body(i, st):
+        def body(i, carry):
+            st, acc = carry
             # per-iteration input perturbation: prevents XLA from hoisting
             # the (state-independent) encoder convs out of the loop, which
             # would overstate streaming FPS
@@ -75,9 +76,16 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
             pkg_i = {"events": pkg["events"] + eps, "image": pkg["image"] + eps}
             st, preds = ERGB2DepthRecurrent.forward_package(
                 params, mcfg, st, pkg_i, decode_keys=decode_keys)
-            return st
-        st = lax.fori_loop(0, n, body, state)
-        return sum(jnp.sum(jnp.abs(s)) for s in jax.tree_util.tree_leaves(st))
+            # CONSUME the predictions: the recurrent state does not depend
+            # on the decoder outputs, so without this XLA dead-code
+            # eliminates every decode and the "fps" measures an
+            # encoders+GRU-only program (caught in round 2: image-only
+            # decode ran at the same package rate as full decode)
+            acc = acc + sum(jnp.sum(p.astype(jnp.float32))
+                            for p in preds.values())
+            return (st, acc)
+        st, acc = lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+        return acc + sum(jnp.sum(jnp.abs(s)) for s in jax.tree_util.tree_leaves(st))
 
     sec = _per_iter_seconds(run_n,
                             (params, state0, pkg, n_lo),

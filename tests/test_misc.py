@@ -69,3 +69,44 @@ def test_summary_counts():
     from rpg_ramnet_tpu.utils import count_parameters
     assert n == count_parameters(params)
     assert "Trainable parameters" in lines[0]
+
+
+def test_bench_timing_loop_consumes_decoders():
+    """Round-2 regression guard: the bench timing loop's output MUST depend
+    on the decoder parameters.  The recurrent state does not depend on the
+    decoder outputs, so if the loop only carries state, XLA dead-code
+    eliminates every decode and the 'fps' silently measures an
+    encoders+GRU-only program (this actually happened: image-only decode
+    benchmarked at the same package rate as full decode)."""
+    from rpg_ramnet_tpu.core.config import ModelConfig
+
+    # reproduce bench_jax_fps's run_n at tiny size
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
+        "recurrent_block_type": "conv", "state_combination": "convgru",
+        "num_encoders": 2, "base_num_channels": 4, "num_residual_blocks": 1,
+        "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 2,
+        "baseline": False})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    state0 = ERGB2DepthRecurrent.init_state(mcfg, 1, 16, 16)
+    rng = np.random.RandomState(0)
+    pkg = {"events": jnp.asarray(rng.randn(1, 2, 16, 16, 5).astype(np.float32)),
+           "image": jnp.asarray(rng.rand(1, 16, 16, 1).astype(np.float32))}
+
+    def run_n(params, state, pkg, n):
+        from jax import lax
+        def body(i, carry):
+            st, acc = carry
+            eps = (i + 1).astype(jnp.float32) * 1e-9
+            pkg_i = {"events": pkg["events"] + eps, "image": pkg["image"] + eps}
+            st, preds = ERGB2DepthRecurrent.forward_package(params, mcfg, st, pkg_i)
+            acc = acc + sum(jnp.sum(p.astype(jnp.float32)) for p in preds.values())
+            return (st, acc)
+        st, acc = lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+        return acc + sum(jnp.sum(jnp.abs(s)) for s in jax.tree_util.tree_leaves(st))
+
+    out1 = float(run_n(params, state0, pkg, 2))
+    params2 = jax.tree_util.tree_map(lambda x: x, params)
+    params2["pred"]["conv2d"]["bias"] = params["pred"]["conv2d"]["bias"] + 1.0
+    out2 = float(run_n(params2, state0, pkg, 2))
+    assert out1 != out2, "decoder params do not affect the timed program (DCE)"
