@@ -110,3 +110,25 @@ def test_bench_timing_loop_consumes_decoders():
     params2["pred"]["conv2d"]["bias"] = params["pred"]["conv2d"]["bias"] + 1.0
     out2 = float(run_n(params2, state0, pkg, 2))
     assert out1 != out2, "decoder params do not affect the timed program (DCE)"
+
+
+def test_all_shipped_configs_parse():
+    """Every configs/*.json (the 5 reference-schema configs + the
+    TPU-optimized variant) must parse into a typed Config with a buildable
+    model config."""
+    import glob
+    import json
+    import os
+    from rpg_ramnet_tpu.core.config import Config
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "*.json")))
+    assert len(paths) >= 6, paths
+    for p in paths:
+        with open(p) as f:
+            cfg = Config.from_dict(json.load(f))
+        assert cfg.arch in ("ERGB2Depth", "ERGB2DepthRecurrent"), p
+        assert cfg.model.num_encoders >= 1
+        assert cfg.trainer.sequence_length >= 1
+        if p.endswith("tpu_bf16.json"):
+            assert cfg.model.compute_dtype == "bfloat16"
+            assert cfg.mesh is not None
