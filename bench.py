@@ -42,7 +42,8 @@ def _per_iter_seconds(run_n, args_lo, args_hi, n_lo, n_hi, repeats=3):
 
 
 def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
-                  with_costs=False, fast_upsample=False, decode_keys=None):
+                  with_costs=False, fast_upsample=False, decode_keys=None,
+                  batched_decode=False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -74,8 +75,12 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
             # would overstate streaming FPS
             eps = (i + 1).astype(jnp.float32) * 1e-9
             pkg_i = {"events": pkg["events"] + eps, "image": pkg["image"] + eps}
-            st, preds = ERGB2DepthRecurrent.forward_package(
-                params, mcfg, st, pkg_i, decode_keys=decode_keys)
+            if batched_decode:
+                st, preds = ERGB2DepthRecurrent.forward_package_batched_decode(
+                    params, mcfg, st, pkg_i)
+            else:
+                st, preds = ERGB2DepthRecurrent.forward_package(
+                    params, mcfg, st, pkg_i, decode_keys=decode_keys)
             # CONSUME the predictions: the recurrent state does not depend
             # on the decoder outputs, so without this XLA dead-code
             # eliminates every decode and the "fps" measures an

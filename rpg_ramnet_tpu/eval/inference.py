@@ -70,14 +70,23 @@ class StreamingInference:
     always decodes all keys)."""
 
     def __init__(self, params, cfg: ModelConfig, arch: str = "ERGB2DepthRecurrent",
-                 decode_keys=None):
+                 decode_keys=None, batched_decode: bool = False):
+        """batched_decode: decode all K+1 predictions of a package in ONE
+        stacked decoder pass (identical outputs; better MXU fill at low
+        lane counts — model.forward_package_batched_decode)."""
         self.params = params
         self.cfg = cfg
         self.model = get_model(arch)
         dk = tuple(decode_keys) if decode_keys else None
-        self._fwd = jax.jit(
-            lambda p, s, pkg: self.model.forward_package(p, cfg, s, pkg,
-                                                         decode_keys=dk))
+        if batched_decode and dk is None and hasattr(
+                self.model, "forward_package_batched_decode"):
+            self._fwd = jax.jit(
+                lambda p, s, pkg: self.model.forward_package_batched_decode(
+                    p, cfg, s, pkg))
+        else:
+            self._fwd = jax.jit(
+                lambda p, s, pkg: self.model.forward_package(p, cfg, s, pkg,
+                                                             decode_keys=dk))
         self._state = None
 
     def reset(self, batch: int, height: int, width: int):

@@ -104,6 +104,45 @@ class ERGB2DepthRecurrent:
         return state, preds
 
     @staticmethod
+    def forward_package_batched_decode(params, cfg: ModelConfig, state, pkg):
+        """Identical math to forward_package, but the K+1 decoder passes run
+        as ONE batched pass: the per-step super-state pyramids are stacked
+        on the batch dim and decoded together.  Decodes do not feed back
+        into the recurrent state, so outputs are bit-identical per sample;
+        the (K+1)x decoder batch fills the MXU better for small lane counts
+        (the decoder is ~57% of package time, PERF.md)."""
+        assert not cfg.use_phased_arch, \
+            "batched-decode path does not thread times; use forward_package"
+        loop = event_loop_range(cfg)
+        event_modality = "image" if cfg.is_baseline else "events"
+        snapshots = []
+        for k in range(loop):
+            if "events_cf" in pkg:
+                x, layout = pkg["events_cf"][:, k], "NCHW"
+            else:
+                x, layout = pkg["events"][:, k], "NHWC"
+            state = statenet.forward_modality(params, cfg, x, state,
+                                              event_modality,
+                                              input_layout=layout)
+            snapshots.append(state)
+        img, layout = ((pkg["image_cf"], "NCHW") if "image_cf" in pkg
+                       else (pkg["image"], "NHWC"))
+        state = statenet.forward_modality(params, cfg, img, state, "image",
+                                          input_layout=layout)
+        snapshots.append(state)
+
+        # stack the per-step pyramids on batch: leaf [B,h,w,c] -> [(K+1)*B,...]
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.concatenate(leaves, axis=0), *snapshots)
+        batched_preds = statenet.forward_decoder(params, cfg, stacked)
+        b = (pkg["image_cf"] if "image_cf" in pkg else pkg["image"]).shape[0]
+        preds = {}
+        for i in range(loop + 1):
+            key = f"events{i}" if i < loop else "image"
+            preds[key] = batched_preds[i * b:(i + 1) * b]
+        return state, preds
+
+    @staticmethod
     def forward_sequence(params, cfg: ModelConfig, state, seq,
                          decode_keys: Optional[Sequence[str]] = None,
                          remat: bool = False, squeeze_preds: bool = False,

@@ -132,3 +132,31 @@ def test_all_shipped_configs_parse():
         if p.endswith("tpu_bf16.json"):
             assert cfg.model.compute_dtype == "bfloat16"
             assert cfg.mesh is not None
+
+
+def test_batched_decode_equals_sequential():
+    """forward_package_batched_decode stacks the K+1 decoder passes into one
+    batched pass — predictions and final state must match forward_package."""
+    from rpg_ramnet_tpu.core.config import ModelConfig
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
+        "recurrent_block_type": "conv", "state_combination": "convgru",
+        "num_encoders": 2, "base_num_channels": 4, "num_residual_blocks": 1,
+        "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 3,
+        "baseline": False})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    state = ERGB2DepthRecurrent.init_state(mcfg, 2, 16, 16)
+    rng = np.random.RandomState(0)
+    pkg = {"events": jnp.asarray(rng.randn(2, 3, 16, 16, 5).astype(np.float32)),
+           "image": jnp.asarray(rng.rand(2, 16, 16, 1).astype(np.float32))}
+    st_a, preds_a = ERGB2DepthRecurrent.forward_package(params, mcfg, state, pkg)
+    st_b, preds_b = ERGB2DepthRecurrent.forward_package_batched_decode(
+        params, mcfg, state, pkg)
+    assert set(preds_a) == set(preds_b)
+    for k in preds_a:
+        np.testing.assert_allclose(np.asarray(preds_a[k]),
+                                   np.asarray(preds_b[k]), atol=1e-6,
+                                   err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-6), st_a, st_b)
