@@ -324,17 +324,19 @@ def main():
         # n_hi=42: the measured (hi-lo) window is ~260 ms of device time —
         # single-digit trip counts showed ~7% run-to-run noise through the
         # tunnel (dynamic trip count: one compile regardless)
-        single = bench_jax_fps(lanes=1, n_hi=42, with_costs=True)
+        single = bench_jax_fps(lanes=1, n_hi=42, with_costs=True,
+                               batched_decode=True)
         fps1 = single["fps"]
         details["jax_fps_single_stream"] = fps1
         details["single_stream_roofline"] = single
         try:
-            details["jax_fps_8lane_throughput"] = bench_jax_fps(lanes=8, n_hi=8)
+            details["jax_fps_8lane_throughput"] = bench_jax_fps(
+                lanes=8, n_hi=8, batched_decode=True)
         except Exception as e:  # memory-constrained fallbacks
             details["jax_fps_8lane_throughput_error"] = str(e)
         try:
             lanes_bf16 = bench_jax_fps(lanes=8, n_hi=8, dtype="bfloat16",
-                                       with_costs=True)
+                                       with_costs=True, batched_decode=True)
             details["jax_fps_8lane_bf16_throughput"] = lanes_bf16["fps"]
             details["lane8_bf16_roofline"] = lanes_bf16
         except Exception as e:
@@ -343,7 +345,7 @@ def main():
             # throughput mode at the measured MXU roofline (PERF.md round-2:
             # 99.9% of bf16 peak at 32 lanes)
             l32 = bench_jax_fps(lanes=32, n_hi=4, dtype="bfloat16",
-                                with_costs=True)
+                                with_costs=True, batched_decode=True)
             details["jax_fps_32lane_bf16_throughput"] = l32["fps"]
             details["lane32_bf16_roofline"] = l32
         except Exception as e:
