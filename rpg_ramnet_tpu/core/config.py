@@ -148,6 +148,12 @@ class TrainerConfig:
     loss_weights: Sequence[float] = (1.0,)
     # TPU extras
     legacy_loss_scaling: bool = False   # replicate reference loss-aliasing scale (x num_keys)
+    # Preview TB metrics: the reference evaluates each key's FIRST-timestep
+    # prediction against the LAST supervised key's step-0 ground truth
+    # (lstm_trainer.py:283 sets new_target per supervised key, :377 appends the
+    # final one, :516 compares predicted_targets[key][0] vs groundtruth_targets[0]).
+    # True = corrected semantics instead: per-key GT, averaged over ALL timesteps.
+    preview_metrics_all_steps: bool = False
     log_every: int = 25
     remat: bool = True                  # jax.checkpoint per TBPTT step (activation memory)
     remat_chunk: int = 1                # packages per checkpoint (recompute/memory trade)
@@ -174,6 +180,7 @@ class TrainerConfig:
             loss_composition=lc,
             loss_weights=tuple(d.get("loss_weights", (1.0,))),
             legacy_loss_scaling=bool(d.get("legacy_loss_scaling", False)),
+            preview_metrics_all_steps=bool(d.get("preview_metrics_all_steps", False)),
             log_every=int(d.get("log_every", 25)),
             remat=bool(d.get("remat", True)),
             remat_chunk=int(d.get("remat_chunk", 1)),

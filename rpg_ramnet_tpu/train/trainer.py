@@ -185,14 +185,27 @@ class Trainer:
             _, preds = model.forward_sequence(
                 jax.device_get(self.params) if self.mesh else self.params,
                 mcfg, state0, seq)
+
+            def gt_for(key):
+                if key == "image":
+                    return item["depth_image"][:, :, :, 0]        # [L, H, W]
+                return item["depth_events"][:, int(key[len("events"):]), :, :, 0]
+
+            # The reference's preview-metric ground truth is the `new_target`
+            # carried out of the loss loop: the depth of the LAST supervised
+            # key in prediction-dict order (lstm_trainer.py:283,377); every
+            # key's step-0 prediction is compared against it (:516).
+            sup = self.cfg.trainer.loss_composition
+            sup_keys = [k for k in preds if (not sup) or k in sup]
+            gt_ref = gt_for((sup_keys or list(preds))[-1])
             for key in preds:
                 pred = np.asarray(preds[key])[:, 0, :, :, 0]       # [L, H, W]
                 if key == "image":
-                    gt = item["depth_image"][:, :, :, 0]
+                    gt = gt_for(key)
                     inp = item["image"].sum(axis=-1)
                 else:
                     k = int(key[len("events"):])
-                    gt = item["depth_events"][:, k, :, :, 0]
+                    gt = gt_for(key)
                     inp = item["events"][:, k].sum(axis=-1)
                 # grid rows: inputs / predictions / ground truth over time
                 grid = np.concatenate([
@@ -215,12 +228,21 @@ class Trainer:
                         self.tb,
                         f"movie_{p_i}__{key}__prediction__groundtruth",
                         video, fps=5, global_step=epoch)
-                # metric vector accumulation: the reference evaluates the
-                # FIRST timestep of each key per preview sample
-                # (lstm_trainer.py:516: predicted_targets[key][0] vs
-                # groundtruth_targets[0]) — same here
+                # metric vector accumulation — two modes:
+                # default: exact reference semantics (lstm_trainer.py:516) —
+                #   each key's FIRST-timestep prediction vs the last supervised
+                #   key's step-0 GT (groundtruth_targets[0] == final new_target
+                #   of step 0, :283,:377);
+                # preview_metrics_all_steps: corrected — per-key GT, averaged
+                #   over all L timesteps of the preview window.
                 for mi, (_, fn) in enumerate(metric_fns):
-                    total_metrics[mi] += fn(pred[0][None, None], gt[0][None, None])
+                    if self.cfg.trainer.preview_metrics_all_steps:
+                        vals = [fn(pred[t][None, None], gt[t][None, None])
+                                for t in range(pred.shape[0])]
+                        total_metrics[mi] += float(np.nanmean(vals))
+                    else:
+                        total_metrics[mi] += fn(pred[0][None, None],
+                                                gt_ref[0][None, None])
         for (name, _), v in zip(metric_fns, total_metrics / max(num_previews, 1)):
             self.tb.add_scalar(f"{tag_prefix}metric_{name}", float(v), epoch)
 
