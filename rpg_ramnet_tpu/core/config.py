@@ -157,6 +157,11 @@ class TrainerConfig:
     log_every: int = 25
     remat: bool = True                  # jax.checkpoint per TBPTT step (activation memory)
     remat_chunk: int = 1                # packages per checkpoint (recompute/memory trade)
+    # decode the supervised keys ONCE outside the (remat'd) scan as one
+    # L*B*|keys| batch: better decoder MXU fill, no decoder recompute in
+    # the backward (identical losses/gradients; not with BN/IN training
+    # or phased arch — those fall back to the in-scan decode)
+    deferred_decode: bool = False
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "TrainerConfig":
@@ -184,6 +189,7 @@ class TrainerConfig:
             log_every=int(d.get("log_every", 25)),
             remat=bool(d.get("remat", True)),
             remat_chunk=int(d.get("remat_chunk", 1)),
+            deferred_decode=bool(d.get("deferred_decode", False)),
         )
 
 

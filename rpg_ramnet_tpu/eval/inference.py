@@ -78,8 +78,8 @@ class StreamingInference:
         self.cfg = cfg
         self.model = get_model(arch)
         dk = tuple(decode_keys) if decode_keys else None
-        if batched_decode and dk is None and hasattr(
-                self.model, "forward_package_batched_decode"):
+        if batched_decode and dk is None and not cfg.use_phased_arch \
+                and hasattr(self.model, "forward_package_batched_decode"):
             self._fwd = jax.jit(
                 lambda p, s, pkg: self.model.forward_package_batched_decode(
                     p, cfg, s, pkg))
@@ -128,16 +128,29 @@ class StreamingInference:
 class SequenceScanInference:
     """Whole-sequence inference as one jitted lax.scan per chunk: fewer
     host->device dispatches than per-package streaming (identical outputs).
-    Chunked so arbitrarily long sequences stream with bounded memory."""
+    Chunked so arbitrarily long sequences stream with bounded memory.
+
+    batched_decode: defer every decode of the chunk and run ONE decoder
+    pass over all chunk*(K+1) super-state snapshots
+    (model.forward_sequence_batched_decode) — bit-identical outputs, much
+    better MXU fill for the narrow-channel decoder (~57% of package time).
+    This is the fast path for offline processing of recorded sequences
+    (test.py semantics), where per-package latency doesn't matter."""
 
     def __init__(self, params, cfg: ModelConfig, arch: str = "ERGB2DepthRecurrent",
-                 chunk: int = 32):
+                 chunk: int = 32, batched_decode: bool = False):
         self.params = params
         self.cfg = cfg
         self.chunk = chunk
         self.model = get_model(arch)
-        self._fwd = jax.jit(
-            lambda p, s, seq: self.model.forward_sequence(p, cfg, s, seq))
+        if batched_decode and hasattr(self.model,
+                                      "forward_sequence_batched_decode"):
+            self._fwd = jax.jit(
+                lambda p, s, seq: self.model.forward_sequence_batched_decode(
+                    p, cfg, s, seq))
+        else:
+            self._fwd = jax.jit(
+                lambda p, s, seq: self.model.forward_sequence(p, cfg, s, seq))
 
     def run_sequence(self, events: np.ndarray, image: np.ndarray):
         """events: [T, K, H, W, C], image: [T, H, W, C] for ONE sequence
@@ -162,6 +175,75 @@ class SequenceScanInference:
             for k, v in preds.items():
                 outs.setdefault(k, []).append(np.asarray(v)[:n, 0])
         return {k: np.concatenate(v) for k, v in outs.items()}
+
+
+def run_chunked_streaming(dataset, params, cfg: ModelConfig,
+                          arch: str = "ERGB2DepthRecurrent", chunk: int = 16,
+                          on_prediction=None, batched_decode: bool = True):
+    """Offline chunked streaming over a ConcatSequenceDataset: each sequence
+    is processed `chunk` packages at a time through ONE jitted program
+    (scan of encoders+state, then — with batched_decode — a single decoder
+    pass over all chunk*(K+1) snapshots).  Outputs identical to per-package
+    streaming; per-item latency is traded for throughput, which is exactly
+    the reference test.py regime (recorded datasets, test.py:207-384).
+
+    State is carried across chunks within a sequence and re-zeroed at every
+    sequence boundary; the tail chunk is zero-padded to the compiled length
+    (padding only corrupts the post-sequence state, which is discarded).
+    The next chunk's items are prefetched on a host thread while the device
+    runs the current one.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    model = get_model(arch)
+    if batched_decode and not cfg.use_phased_arch and hasattr(
+            model, "forward_sequence_batched_decode"):
+        fwd = jax.jit(lambda p, s, seq: model.forward_sequence_batched_decode(
+            p, cfg, s, seq))
+    else:
+        fwd = jax.jit(lambda p, s, seq: model.forward_sequence(p, cfg, s, seq))
+
+    sizes = [len(d) for d in dataset.datasets]
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+
+    def load_chunk(sub, t0, size):
+        items = [sub[i] for i in range(t0, min(t0 + chunk, size))]
+        ev = np.stack([it["events"][0] for it in items])
+        im = np.stack([it["image"][0] for it in items])
+        n = ev.shape[0]
+        if n < chunk:
+            pad = chunk - n
+            ev = np.concatenate([ev, np.zeros((pad,) + ev.shape[1:], ev.dtype)])
+            im = np.concatenate([im, np.zeros((pad,) + im.shape[1:], im.dtype)])
+        return items, ev, im
+
+    pool = ThreadPoolExecutor(1)
+    # flat list of (sub, t0) chunk tasks so prefetch crosses sequence
+    # boundaries too
+    tasks = [(s, t0) for s in range(len(sizes))
+             for t0 in range(0, sizes[s], chunk)]
+    fut = pool.submit(load_chunk, dataset.datasets[tasks[0][0]], tasks[0][1],
+                      sizes[tasks[0][0]]) if tasks else None
+    state, cur_seq = None, -1
+    for ti, (s, t0) in enumerate(tasks):
+        items, ev, im = fut.result()
+        if ti + 1 < len(tasks):
+            s2, t02 = tasks[ti + 1]
+            fut = pool.submit(load_chunk, dataset.datasets[s2], t02, sizes[s2])
+        if s != cur_seq:
+            h, w = im.shape[1], im.shape[2]
+            state = model.init_state(cfg, 1, h, w)
+            cur_seq = s
+        seq = {"events": jnp.asarray(ev)[None], "image": jnp.asarray(im)[None]}
+        state, preds = fwd(params, state, seq)
+        if on_prediction is not None:
+            preds_np = {k: np.asarray(v) for k, v in preds.items()}
+            for j, item in enumerate(items):
+                gidx = int(starts[s] + t0 + j)
+                on_prediction(gidx,
+                              {k: v[j, 0] for k, v in preds_np.items()},
+                              item, t0 + j)
+    pool.shutdown()
 
 
 class BatchedStreamingInference:

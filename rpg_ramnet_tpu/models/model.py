@@ -143,6 +143,99 @@ class ERGB2DepthRecurrent:
         return state, preds
 
     @staticmethod
+    def forward_sequence_batched_decode(params, cfg: ModelConfig, state, seq,
+                                        decode_keys: Optional[Sequence[str]] = None,
+                                        remat: bool = False,
+                                        squeeze_preds: bool = False):
+        """forward_sequence with ALL decodes deferred and batched: lax.scan
+        runs only the sequential work (encoders + per-scale recurrent state
+        combination), stacking the per-package super-state pyramids; ONE
+        decoder pass then processes all L*S*B snapshots (S = number of
+        decoded keys).
+
+        Outputs are bit-identical per package to forward_sequence — decodes
+        never feed the recurrent state (model/model.py:176-217 reads only
+        super_states) — but the decoder (~57% of package time, narrow
+        C_out in {1,32,64} that a sequential pass cannot fill the 128-lane
+        MXU with) runs at an L*S-deep batch.
+
+        Two consumers:
+        * offline / throughput streaming (test.py --scan_chunk; recorded
+          sequences, per-package latency irrelevant); chunk L bounds
+          snapshot memory (~15 MB f32 per lane-step at 256x512);
+        * training (trainer.deferred_decode): decode_keys = the supervised
+          keys; with remat=True only the encoder+GRU scan step is
+          checkpointed — the decoder runs ONCE outside the scan with
+          normally-stored activations, so its recompute cost disappears
+          from the backward entirely.
+
+        seq: same layout as forward_sequence.  Returns (state, {key:
+        [L, B, H, W, 1]} or squeezed [L, B, H, W]).  Phased (times) regime
+        unsupported — keep parity with forward_package_batched_decode's
+        guard.  Training-mode BN/IN (norm_stats) is NOT supported here:
+        batch statistics over the stacked decode batch would differ from
+        the reference's per-step statistics."""
+        assert not cfg.use_phased_arch, \
+            "batched-decode path does not thread times; use forward_sequence"
+        loop = event_loop_range(cfg)
+        event_modality = "image" if cfg.is_baseline else "events"
+        all_keys = [f"events{k}" for k in range(loop)] + ["image"]
+        sel_keys = [k for k in all_keys
+                    if decode_keys is None or k in decode_keys]
+
+        def step(state, pkg):
+            snaps = []
+            for k in range(loop):
+                if "events_cf" in pkg:
+                    x, layout = pkg["events_cf"][:, k], "NCHW"
+                else:
+                    x, layout = pkg["events"][:, k], "NHWC"
+                state = statenet.forward_modality(params, cfg, x, state,
+                                                  event_modality,
+                                                  input_layout=layout)
+                if f"events{k}" in sel_keys:
+                    snaps.append(state)
+            img, layout = ((pkg["image_cf"], "NCHW") if "image_cf" in pkg
+                           else (pkg["image"], "NHWC"))
+            state = statenet.forward_modality(params, cfg, img, state,
+                                              "image", input_layout=layout)
+            if "image" in sel_keys:
+                snaps.append(state)
+            # [S*B, h, w, c] per leaf — fold the step axis into batch
+            # here so the scan stacks a single batch-major buffer per scale
+            stacked = jax.tree_util.tree_map(
+                lambda *leaves: jnp.concatenate(leaves, axis=0), *snaps)
+            return state, stacked
+
+        if remat:
+            step = jax.checkpoint(step)
+
+        _TL_RENAME = {"events_tcf": "events_cf", "image_tcf": "image_cf"}
+        seq_t = {}
+        for k, v in seq.items():
+            if k in _TL_RENAME:
+                seq_t[_TL_RENAME[k]] = v
+            elif k in ("events", "image"):
+                seq_t[k] = jnp.moveaxis(v, 1, 0)
+        final_state, snapshots = jax.lax.scan(step, state, seq_t)
+        # leaves [L, S*B, h, w, c] -> [L*S*B, h, w, c]
+        flat = jax.tree_util.tree_map(
+            lambda v: v.reshape((-1,) + v.shape[2:]), snapshots)
+        batched_preds = statenet.forward_decoder(params, cfg, flat)
+        b = (seq_t["image_cf"] if "image_cf" in seq_t
+             else seq_t["image"]).shape[1]
+        l = (seq_t["image_cf"] if "image_cf" in seq_t
+             else seq_t["image"]).shape[0]
+        # [L, S, B, H, W, 1] -> per-key [L, B, H, W, 1]
+        grouped = batched_preds.reshape((l, len(sel_keys), b)
+                                        + batched_preds.shape[1:])
+        preds = {}
+        for i, key in enumerate(sel_keys):
+            p = grouped[:, i]
+            preds[key] = p[..., 0] if squeeze_preds else p
+        return final_state, preds
+
+    @staticmethod
     def forward_sequence(params, cfg: ModelConfig, state, seq,
                          decode_keys: Optional[Sequence[str]] = None,
                          remat: bool = False, squeeze_preds: bool = False,

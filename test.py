@@ -32,6 +32,12 @@ def main():
     parser.add_argument("--lanes", type=int, default=1,
                         help="batched multi-sequence streaming lanes (>1: "
                              "TPU throughput mode, identical outputs)")
+    parser.add_argument("--scan_chunk", type=int, default=0,
+                        help="offline chunked streaming: process each "
+                             "sequence N packages per jitted program with "
+                             "all decodes deferred into one batched decoder "
+                             "pass (identical outputs, best single-stream "
+                             "throughput; 0 = per-package streaming)")
     parser.add_argument("--decode_keys", type=str, default="",
                         help="comma list restricting decoded predictions "
                              "(e.g. 'image'; default: all, like the reference)")
@@ -90,7 +96,7 @@ def main():
 
     decode_keys = tuple(k for k in args.decode_keys.split(",") if k) or None
     engine = StreamingInference(params, cfg.model, cfg.arch,
-                                decode_keys=decode_keys)
+                                decode_keys=decode_keys, batched_decode=True)
     writer = DepthOutputWriter(args.output_path) if args.output_path else None
     reg_factor = cfg.train_data.reg_factor
     clip_distance = vd.clip_distance
@@ -148,6 +154,12 @@ def main():
         from rpg_ramnet_tpu.eval.inference import run_batched_streaming
         run_batched_streaming(dataset, params, cfg.model, cfg.arch,
                               n_lanes=args.lanes, on_prediction=handle)
+    elif args.scan_chunk > 0:
+        # offline chunked streaming: scan the sequential work, decode all
+        # chunk*(K+1) snapshots in one batched pass (identical outputs)
+        from rpg_ramnet_tpu.eval.inference import run_chunked_streaming
+        run_chunked_streaming(dataset, params, cfg.model, cfg.arch,
+                              chunk=args.scan_chunk, on_prediction=handle)
     else:
         # one-item host prefetch: dataset IO overlaps device compute
         from concurrent.futures import ThreadPoolExecutor

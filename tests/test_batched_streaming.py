@@ -91,6 +91,109 @@ def test_sequence_scan_equals_streaming(test_split):
                                        err_msg=f"t={t} key={k}")
 
 
+def test_sequence_batched_decode_equals_forward_sequence(test_split):
+    """Deferred-decode sequence mode (ONE decoder pass over all L*(K+1)
+    super-state snapshots) must be exactly forward_sequence: decodes never
+    feed the recurrent state."""
+    cfg = tiny_config(every_x_rgb_frame=3)
+    mcfg = cfg.model
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(5), mcfg)
+    rng = np.random.default_rng(0)
+    B, L, K, H, W = 2, 4, 3, 32, 32
+    seq = {"events": rng.standard_normal(
+               (B, L, K, H, W, mcfg.num_bins_events)).astype(np.float32),
+           "image": rng.standard_normal(
+               (B, L, H, W, mcfg.num_bins_rgb)).astype(np.float32)}
+    state0 = ERGB2DepthRecurrent.init_state(mcfg, B, H, W)
+    s_ref, p_ref = ERGB2DepthRecurrent.forward_sequence(
+        params, mcfg, state0, seq)
+    s_bd, p_bd = ERGB2DepthRecurrent.forward_sequence_batched_decode(
+        params, mcfg, state0, seq)
+    assert set(p_ref) == set(p_bd)
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_bd[k]), np.asarray(p_ref[k]),
+                                   atol=1e-5, rtol=1e-5, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), s_ref, s_bd)
+
+
+def test_sequence_scan_batched_decode_equals_streaming(test_split):
+    """SequenceScanInference(batched_decode=True) == per-package streaming,
+    including the padded tail chunk."""
+    from rpg_ramnet_tpu.eval.inference import SequenceScanInference
+    cfg = tiny_config(every_x_rgb_frame=3)
+    mcfg = cfg.model
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(2), mcfg)
+    dataset = concatenate_subfolders(
+        test_split, "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+        "depth/data", "rgb/data", sequence_length=1, step_size=1,
+        clip_distance=80.0, every_x_rgb_frame=3, reg_factor=3.70378,
+        transform=CenterCrop(32))
+    sub = dataset.datasets[0]
+    items = [sub[i] for i in range(len(sub))]
+    ev = np.stack([it["events"][0] for it in items])
+    im = np.stack([it["image"][0] for it in items])
+
+    engine = StreamingInference(params, mcfg)
+    engine.reset(1, 32, 32)
+    stream_preds = [engine.step({"events": it["events"][0],
+                                 "image": it["image"][0]}) for it in items]
+
+    scan = SequenceScanInference(params, mcfg, chunk=4, batched_decode=True)
+    scan_preds = scan.run_sequence(ev, im)
+    for t, sp in enumerate(stream_preds):
+        for k in sp:
+            np.testing.assert_allclose(scan_preds[k][t], sp[k],
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"t={t} key={k}")
+
+
+def test_chunked_streaming_equals_single_lane(test_split):
+    """run_chunked_streaming (offline deferred-decode driver behind
+    test.py --scan_chunk) == single-lane streaming on a multi-sequence
+    dataset, including chunk-boundary state carry and padded tails."""
+    from rpg_ramnet_tpu.eval.inference import run_chunked_streaming
+    cfg = tiny_config(every_x_rgb_frame=3)
+    mcfg = cfg.model
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    dataset = concatenate_subfolders(
+        test_split, "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+        "depth/data", "rgb/data", sequence_length=1, step_size=1,
+        clip_distance=80.0, every_x_rgb_frame=3, reg_factor=3.70378,
+        transform=CenterCrop(32))
+
+    single = {}
+    engine = StreamingInference(params, mcfg)
+    prev_d = -1
+    for idx in range(len(dataset)):
+        item, d = dataset[idx]
+        if d != prev_d:
+            engine.reset(1, 32, 32)
+            prev_d = d
+        preds = engine.step({"events": item["events"][0],
+                             "image": item["image"][0]})
+        single[idx] = preds["image"]
+
+    chunked = {}
+    seq_positions = {}
+    # chunk=4 with per-sequence length != multiple of 4 exercises tail pad
+    run_chunked_streaming(
+        dataset, params, mcfg, chunk=4,
+        on_prediction=lambda gidx, preds, item, seq_pos: (
+            chunked.__setitem__(gidx, preds["image"]),
+            seq_positions.__setitem__(gidx, seq_pos)))
+
+    assert set(chunked) == set(single)
+    for idx in single:
+        np.testing.assert_allclose(chunked[idx], single[idx],
+                                   atol=1e-5, rtol=1e-5, err_msg=f"idx={idx}")
+    # sequence positions restart at 0 at each sequence boundary
+    sizes = [len(d) for d in dataset.datasets]
+    expect = [p for sz in sizes for p in range(sz)]
+    assert [seq_positions[i] for i in range(len(dataset))] == expect
+
+
 def test_batched_phased_times_equals_single_lane(tmp_path):
     """Phased (irregular-timestamp) regime through the LANE-BATCHED path:
     times_events/times_image are lane-stacked and fed to the PhasedLSTM

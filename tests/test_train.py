@@ -244,3 +244,35 @@ def test_remat_chunk_equivalence():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 atol=1e-6),
         outs["chunk1"][1], outs["chunk2"][1])
+
+
+def test_deferred_decode_equivalence():
+    """trainer.deferred_decode moves the supervised decodes outside the
+    (remat'd) scan into ONE batched decoder pass; loss and every gradient
+    must match the in-scan decode path."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+    from rpg_ramnet_tpu.core.config import Config
+    cfg1 = tiny_config()
+    cfg2 = Config.from_dict({**cfg1.raw,
+                             "trainer": {**cfg1.raw["trainer"],
+                                         "deferred_decode": True}})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg1.model)
+    rng = np.random.RandomState(0)
+    B, L, K, H, W = 2, 2, 3, 16, 16
+    batch = {"events": jnp.asarray(rng.randn(B, L, K, H, W, 5).astype(np.float32)),
+             "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+             "depth_events": jnp.asarray(rng.rand(B, L, K, H, W, 1).astype(np.float32)),
+             "depth_image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32))}
+    state0 = ERGB2DepthRecurrent.init_state(cfg1.model, B, H, W)
+    outs = {}
+    for name, cfg in (("inscan", cfg1), ("deferred", cfg2)):
+        loss_fn = make_sequence_loss(cfg, remat=True)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state0, batch)
+        outs[name] = (float(loss), grads)
+    assert abs(outs["inscan"][0] - outs["deferred"][0]) < 1e-6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5, rtol=1e-5),
+        outs["inscan"][1], outs["deferred"][1])
