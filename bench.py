@@ -475,6 +475,23 @@ def main():
             details["train_bf16_roofline"] = train_bf16
         except Exception as e:
             details["train_bf16_error"] = str(e)
+        try:
+            # deferred-decode training (supervised decodes leave the remat'd
+            # scan as ONE batched pass; gradients identical): +13% f32 B=8
+            td = bench_train_step(deferred_decode=True)
+            details["train_deferred_seq_per_sec_B8_L10_224"] = td["seq_per_sec"]
+            details["train_deferred_roofline"] = td
+        except Exception as e:
+            details["train_deferred_error"] = str(e)
+        try:
+            # flagship TPU recipe (configs/..._tpu_bf16.json): bf16 + B=16 +
+            # deferred decode
+            tfl = bench_train_step(B=16, dtype="bfloat16", deferred_decode=True)
+            details["train_bf16_deferred_seq_per_sec_B16_L10_224"] = \
+                tfl["seq_per_sec"]
+            details["train_bf16_deferred_B16_roofline"] = tfl
+        except Exception as e:
+            details["train_bf16_deferred_B16_error"] = str(e)
 
         # one profiler trace artifact of the streaming forward (PERF.md's
         # bandwidth-bound claims are verifiable from it); tolerant of
