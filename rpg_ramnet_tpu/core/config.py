@@ -159,8 +159,9 @@ class TrainerConfig:
     remat_chunk: int = 1                # packages per checkpoint (recompute/memory trade)
     # decode the supervised keys ONCE outside the (remat'd) scan as one
     # L*B*|keys| batch: better decoder MXU fill, no decoder recompute in
-    # the backward (identical losses/gradients; not with BN/IN training
-    # or phased arch — those fall back to the in-scan decode)
+    # the backward (identical losses/gradients; phased/times supported;
+    # BN/IN training mode falls back to the in-scan decode — batch stats
+    # must match the reference's per-step statistics)
     deferred_decode: bool = False
 
     @staticmethod

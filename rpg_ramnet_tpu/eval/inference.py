@@ -78,8 +78,8 @@ class StreamingInference:
         self.cfg = cfg
         self.model = get_model(arch)
         dk = tuple(decode_keys) if decode_keys else None
-        if batched_decode and dk is None and not cfg.use_phased_arch \
-                and hasattr(self.model, "forward_package_batched_decode"):
+        if batched_decode and dk is None and hasattr(
+                self.model, "forward_package_batched_decode"):
             self._fwd = jax.jit(
                 lambda p, s, pkg: self.model.forward_package_batched_decode(
                     p, cfg, s, pkg))
@@ -196,8 +196,7 @@ def run_chunked_streaming(dataset, params, cfg: ModelConfig,
     from concurrent.futures import ThreadPoolExecutor
 
     model = get_model(arch)
-    if batched_decode and not cfg.use_phased_arch and hasattr(
-            model, "forward_sequence_batched_decode"):
+    if batched_decode and hasattr(model, "forward_sequence_batched_decode"):
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence_batched_decode(
             p, cfg, s, seq))
     else:
@@ -208,14 +207,23 @@ def run_chunked_streaming(dataset, params, cfg: ModelConfig,
 
     def load_chunk(sub, t0, size):
         items = [sub[i] for i in range(t0, min(t0 + chunk, size))]
-        ev = np.stack([it["events"][0] for it in items])
-        im = np.stack([it["image"][0] for it in items])
-        n = ev.shape[0]
+        out = {"events": np.stack([it["events"][0] for it in items]),
+               "image": np.stack([it["image"][0] for it in items])}
+        # phased (irregular-timestamp) regime: chunk the continuous
+        # timestamps too (they feed only the PhasedLSTM gates)
+        if cfg.use_phased_arch and "times_events" in items[0]:
+            out["times_events"] = np.stack(
+                [np.atleast_1d(it["times_events"][0]) for it in items])
+            out["times_image"] = np.stack(
+                [np.float32(np.asarray(it["times_image"][0]).ravel()[0])
+                 for it in items])
+        n = len(items)
         if n < chunk:
             pad = chunk - n
-            ev = np.concatenate([ev, np.zeros((pad,) + ev.shape[1:], ev.dtype)])
-            im = np.concatenate([im, np.zeros((pad,) + im.shape[1:], im.dtype)])
-        return items, ev, im
+            out = {k: np.concatenate(
+                       [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                   for k, v in out.items()}
+        return items, out
 
     pool = ThreadPoolExecutor(1)
     # flat list of (sub, t0) chunk tasks so prefetch crosses sequence
@@ -226,15 +234,15 @@ def run_chunked_streaming(dataset, params, cfg: ModelConfig,
                       sizes[tasks[0][0]]) if tasks else None
     state, cur_seq = None, -1
     for ti, (s, t0) in enumerate(tasks):
-        items, ev, im = fut.result()
+        items, arrs = fut.result()
         if ti + 1 < len(tasks):
             s2, t02 = tasks[ti + 1]
             fut = pool.submit(load_chunk, dataset.datasets[s2], t02, sizes[s2])
         if s != cur_seq:
-            h, w = im.shape[1], im.shape[2]
+            h, w = arrs["image"].shape[1], arrs["image"].shape[2]
             state = model.init_state(cfg, 1, h, w)
             cur_seq = s
-        seq = {"events": jnp.asarray(ev)[None], "image": jnp.asarray(im)[None]}
+        seq = {k: jnp.asarray(v)[None] for k, v in arrs.items()}
         state, preds = fwd(params, state, seq)
         if on_prediction is not None:
             preds_np = {k: np.asarray(v) for k, v in preds.items()}

@@ -110,24 +110,29 @@ class ERGB2DepthRecurrent:
         on the batch dim and decoded together.  Decodes do not feed back
         into the recurrent state, so outputs are bit-identical per sample;
         the (K+1)x decoder batch fills the MXU better for small lane counts
-        (the decoder is ~57% of package time, PERF.md)."""
-        assert not cfg.use_phased_arch, \
-            "batched-decode path does not thread times; use forward_package"
+        (the decoder is ~57% of package time, PERF.md).  The phased
+        (irregular-timestamp) regime is supported: times feed only the
+        PhasedLSTM gates inside forward_modality — the decoder reads just
+        the super states, so deferring decodes is orthogonal."""
         loop = event_loop_range(cfg)
         event_modality = "image" if cfg.is_baseline else "events"
+        times_ev = pkg.get("times_events") if cfg.use_phased_arch else None
+        times_im = pkg.get("times_image") if cfg.use_phased_arch else None
         snapshots = []
         for k in range(loop):
             if "events_cf" in pkg:
                 x, layout = pkg["events_cf"][:, k], "NCHW"
             else:
                 x, layout = pkg["events"][:, k], "NHWC"
+            t = times_ev[:, k] if times_ev is not None else None
             state = statenet.forward_modality(params, cfg, x, state,
-                                              event_modality,
+                                              event_modality, times=t,
                                               input_layout=layout)
             snapshots.append(state)
         img, layout = ((pkg["image_cf"], "NCHW") if "image_cf" in pkg
                        else (pkg["image"], "NHWC"))
         state = statenet.forward_modality(params, cfg, img, state, "image",
+                                          times=times_im,
                                           input_layout=layout)
         snapshots.append(state)
 
@@ -170,13 +175,11 @@ class ERGB2DepthRecurrent:
           from the backward entirely.
 
         seq: same layout as forward_sequence.  Returns (state, {key:
-        [L, B, H, W, 1]} or squeezed [L, B, H, W]).  Phased (times) regime
-        unsupported — keep parity with forward_package_batched_decode's
-        guard.  Training-mode BN/IN (norm_stats) is NOT supported here:
-        batch statistics over the stacked decode batch would differ from
-        the reference's per-step statistics."""
-        assert not cfg.use_phased_arch, \
-            "batched-decode path does not thread times; use forward_sequence"
+        [L, B, H, W, 1]} or squeezed [L, B, H, W]).  The phased (times)
+        regime is supported — times feed only the PhasedLSTM gates in the
+        scan; the decoder is unaffected.  Training-mode BN/IN (norm_stats)
+        is NOT supported here: batch statistics over the stacked decode
+        batch would differ from the reference's per-step statistics."""
         loop = event_loop_range(cfg)
         event_modality = "image" if cfg.is_baseline else "events"
         all_keys = [f"events{k}" for k in range(loop)] + ["image"]
@@ -184,21 +187,25 @@ class ERGB2DepthRecurrent:
                     if decode_keys is None or k in decode_keys]
 
         def step(state, pkg):
+            times_ev = pkg.get("times_events") if cfg.use_phased_arch else None
+            times_im = pkg.get("times_image") if cfg.use_phased_arch else None
             snaps = []
             for k in range(loop):
                 if "events_cf" in pkg:
                     x, layout = pkg["events_cf"][:, k], "NCHW"
                 else:
                     x, layout = pkg["events"][:, k], "NHWC"
+                t = times_ev[:, k] if times_ev is not None else None
                 state = statenet.forward_modality(params, cfg, x, state,
-                                                  event_modality,
+                                                  event_modality, times=t,
                                                   input_layout=layout)
                 if f"events{k}" in sel_keys:
                     snaps.append(state)
             img, layout = ((pkg["image_cf"], "NCHW") if "image_cf" in pkg
                            else (pkg["image"], "NHWC"))
             state = statenet.forward_modality(params, cfg, img, state,
-                                              "image", input_layout=layout)
+                                              "image", times=times_im,
+                                              input_layout=layout)
             if "image" in sel_keys:
                 snaps.append(state)
             # [S*B, h, w, c] per leaf — fold the step axis into batch
@@ -210,12 +217,14 @@ class ERGB2DepthRecurrent:
         if remat:
             step = jax.checkpoint(step)
 
-        _TL_RENAME = {"events_tcf": "events_cf", "image_tcf": "image_cf"}
+        _TL_RENAME = {"events_tcf": "events_cf", "image_tcf": "image_cf",
+                      "times_events_t": "times_events",
+                      "times_image_t": "times_image"}
         seq_t = {}
         for k, v in seq.items():
             if k in _TL_RENAME:
                 seq_t[_TL_RENAME[k]] = v
-            elif k in ("events", "image"):
+            elif k in ("events", "image", "times_events", "times_image"):
                 seq_t[k] = jnp.moveaxis(v, 1, 0)
         final_state, snapshots = jax.lax.scan(step, state, seq_t)
         # leaves [L, S*B, h, w, c] -> [L*S*B, h, w, c]

@@ -138,7 +138,7 @@ def make_sequence_loss(cfg: Config, remat: bool = False,
                 params, mcfg, state0, seq_in, decode_keys=keys, remat=remat,
                 squeeze_preds=True, norm_stats=stats0, remat_chunk=rc)
             norm_stats_out = jax.lax.stop_gradient(norm_stats_out)
-        elif (cfg.trainer.deferred_decode and not mcfg.use_phased_arch
+        elif (cfg.trainer.deferred_decode
               and hasattr(model, "forward_sequence_batched_decode")):
             # decoder outside the (remat'd) scan: the L*B*|keys| supervised
             # decodes run as ONE batch with normally-stored activations —

@@ -194,6 +194,66 @@ def test_chunked_streaming_equals_single_lane(test_split):
     assert [seq_positions[i] for i in range(len(dataset))] == expect
 
 
+def test_phased_batched_and_chunked_decode_equal_sequential(tmp_path):
+    """Phased (irregular-timestamp) regime through BOTH deferred-decode
+    paths: per-package batched decode (StreamingInference batched_decode)
+    and chunked streaming (run_chunked_streaming) must equal sequential
+    per-package streaming — times feed only the PhasedLSTM gates, never
+    the decoder."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_phased_model import phased_config
+    from rpg_ramnet_tpu.data.synthetic import generate_eventscape_sequence
+    from rpg_ramnet_tpu.eval.inference import run_chunked_streaming
+
+    root = tmp_path / "phased_split"
+    for s in range(2):
+        generate_eventscape_sequence(str(root / f"seq{s:02d}"), n_frames=12,
+                                     height=32, width=32,
+                                     events_per_frame=200, seed=10 + s)
+    cfg = phased_config(spatial=(32, 32))
+    mcfg = cfg.model
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(7), mcfg)
+    dataset = concatenate_subfolders(
+        str(root), "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+        "depth/data", "rgb/data", sequence_length=1, step_size=1,
+        clip_distance=80.0, every_x_rgb_frame=3, reg_factor=3.70378,
+        use_phased_arch=True, transform=CenterCrop(32))
+
+    def stream(batched_decode):
+        out = {}
+        engine = StreamingInference(params, mcfg,
+                                    batched_decode=batched_decode)
+        prev_d = -1
+        for idx in range(len(dataset)):
+            item, d = dataset[idx]
+            if d != prev_d:
+                engine.reset(1, 32, 32)
+                prev_d = d
+            preds = engine.step({"events": item["events"][0],
+                                 "image": item["image"][0],
+                                 "times_events": item["times_events"][0],
+                                 "times_image": item["times_image"][0]})
+            out[idx] = preds["image"]
+        return out
+
+    single = stream(batched_decode=False)
+    batched = stream(batched_decode=True)
+    for idx in single:
+        np.testing.assert_allclose(batched[idx], single[idx],
+                                   atol=1e-5, rtol=1e-5, err_msg=f"idx={idx}")
+
+    chunked = {}
+    run_chunked_streaming(
+        dataset, params, mcfg, chunk=4,
+        on_prediction=lambda gidx, preds, item, seq_pos: chunked.__setitem__(
+            gidx, preds["image"]))
+    assert set(chunked) == set(single)
+    for idx in single:
+        np.testing.assert_allclose(chunked[idx], single[idx],
+                                   atol=1e-5, rtol=1e-5, err_msg=f"idx={idx}")
+
+
 def test_batched_phased_times_equals_single_lane(tmp_path):
     """Phased (irregular-timestamp) regime through the LANE-BATCHED path:
     times_events/times_image are lane-stacked and fed to the PhasedLSTM

@@ -109,3 +109,28 @@ def test_phased_training_step():
     # tau/phase gate parameters receive gradients (they're in the pytree)
     leaf = params["encoders_rgb"][0]["recurrent_block"]["phased_cell"]["tau"]
     assert leaf.shape[0] > 0
+
+
+def test_phased_deferred_decode_training_equivalence():
+    """trainer.deferred_decode under the phased arch: times feed only the
+    PhasedLSTM gates inside the scan, so the deferred batched decode must
+    reproduce the in-scan decode's loss and gradients exactly."""
+    from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+    cfg1 = phased_config()
+    cfg2 = Config.from_dict({**cfg1.raw,
+                             "trainer": {**cfg1.raw["trainer"],
+                                         "deferred_decode": True}})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg1.model)
+    batch = _batch_with_times(cfg1, seed=3)
+    state0 = ERGB2DepthRecurrent.init_state(cfg1.model, 2, 16, 16)
+    outs = {}
+    for name, cfg in (("inscan", cfg1), ("deferred", cfg2)):
+        loss_fn = make_sequence_loss(cfg, remat=True)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state0, batch)
+        outs[name] = (float(loss), grads)
+    assert abs(outs["inscan"][0] - outs["deferred"][0]) < 1e-6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5, rtol=1e-5),
+        outs["inscan"][1], outs["deferred"][1])
