@@ -179,7 +179,8 @@ class SequenceScanInference:
 
 def run_chunked_streaming(dataset, params, cfg: ModelConfig,
                           arch: str = "ERGB2DepthRecurrent", chunk: int = 16,
-                          on_prediction=None, batched_decode: bool = True):
+                          on_prediction=None, batched_decode: bool = True,
+                          decode_keys=None):
     """Offline chunked streaming over a ConcatSequenceDataset: each sequence
     is processed `chunk` packages at a time through ONE jitted program
     (scan of encoders+state, then — with batched_decode — a single decoder
@@ -196,11 +197,13 @@ def run_chunked_streaming(dataset, params, cfg: ModelConfig,
     from concurrent.futures import ThreadPoolExecutor
 
     model = get_model(arch)
+    dk = tuple(decode_keys) if decode_keys else None
     if batched_decode and hasattr(model, "forward_sequence_batched_decode"):
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence_batched_decode(
-            p, cfg, s, seq))
+            p, cfg, s, seq, decode_keys=dk))
     else:
-        fwd = jax.jit(lambda p, s, seq: model.forward_sequence(p, cfg, s, seq))
+        fwd = jax.jit(lambda p, s, seq: model.forward_sequence(
+            p, cfg, s, seq, decode_keys=dk))
 
     sizes = [len(d) for d in dataset.datasets]
     starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])

@@ -156,10 +156,12 @@ def main():
                               n_lanes=args.lanes, on_prediction=handle)
     elif args.scan_chunk > 0:
         # offline chunked streaming: scan the sequential work, decode all
-        # chunk*(K+1) snapshots in one batched pass (identical outputs)
+        # chunk*(K+1) snapshots in one batched pass (identical outputs);
+        # composes with --decode_keys for frame-rate consumers
         from rpg_ramnet_tpu.eval.inference import run_chunked_streaming
         run_chunked_streaming(dataset, params, cfg.model, cfg.arch,
-                              chunk=args.scan_chunk, on_prediction=handle)
+                              chunk=args.scan_chunk, on_prediction=handle,
+                              decode_keys=decode_keys)
     else:
         # one-item host prefetch: dataset IO overlaps device compute
         from concurrent.futures import ThreadPoolExecutor

@@ -194,6 +194,36 @@ def test_chunked_streaming_equals_single_lane(test_split):
     assert [seq_positions[i] for i in range(len(dataset))] == expect
 
 
+def test_chunked_streaming_decode_keys(test_split):
+    """--scan_chunk composes with --decode_keys: only the requested keys
+    are decoded (frame-rate mode), values equal to full decoding."""
+    from rpg_ramnet_tpu.eval.inference import run_chunked_streaming
+    cfg = tiny_config(every_x_rgb_frame=3)
+    mcfg = cfg.model
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    dataset = concatenate_subfolders(
+        test_split, "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+        "depth/data", "rgb/data", sequence_length=1, step_size=1,
+        clip_distance=80.0, every_x_rgb_frame=3, reg_factor=3.70378,
+        transform=CenterCrop(32))
+
+    full, image_only = {}, {}
+    run_chunked_streaming(
+        dataset, params, mcfg, chunk=4,
+        on_prediction=lambda gidx, preds, item, seq_pos: full.__setitem__(
+            gidx, preds))
+    run_chunked_streaming(
+        dataset, params, mcfg, chunk=4, decode_keys=("image",),
+        on_prediction=lambda gidx, preds, item, seq_pos: image_only.__setitem__(
+            gidx, preds))
+    assert set(image_only) == set(full)
+    for idx in full:
+        assert set(image_only[idx]) == {"image"}
+        np.testing.assert_allclose(image_only[idx]["image"],
+                                   full[idx]["image"],
+                                   atol=1e-5, rtol=1e-5, err_msg=f"idx={idx}")
+
+
 def test_phased_batched_and_chunked_decode_equal_sequential(tmp_path):
     """Phased (irregular-timestamp) regime through BOTH deferred-decode
     paths: per-package batched decode (StreamingInference batched_decode)
