@@ -128,18 +128,18 @@ class ERGB2DepthRecurrent:
             state = statenet.forward_modality(params, cfg, x, state,
                                               event_modality, times=t,
                                               input_layout=layout)
-            snapshots.append(state)
+            snapshots.append(statenet.decoder_view(cfg, state))
         img, layout = ((pkg["image_cf"], "NCHW") if "image_cf" in pkg
                        else (pkg["image"], "NHWC"))
         state = statenet.forward_modality(params, cfg, img, state, "image",
                                           times=times_im,
                                           input_layout=layout)
-        snapshots.append(state)
+        snapshots.append(statenet.decoder_view(cfg, state))
 
         # stack the per-step pyramids on batch: leaf [B,h,w,c] -> [(K+1)*B,...]
         stacked = jax.tree_util.tree_map(
             lambda *leaves: jnp.concatenate(leaves, axis=0), *snapshots)
-        batched_preds = statenet.forward_decoder(params, cfg, stacked)
+        batched_preds = statenet.forward_decoder_supers(params, cfg, stacked)
         b = (pkg["image_cf"] if "image_cf" in pkg else pkg["image"]).shape[0]
         preds = {}
         for i in range(loop + 1):
@@ -200,14 +200,16 @@ class ERGB2DepthRecurrent:
                                                   event_modality, times=t,
                                                   input_layout=layout)
                 if f"events{k}" in sel_keys:
-                    snaps.append(state)
+                    # hidden parts only — cells/encoder states never feed
+                    # the decoder (statenet.decoder_view)
+                    snaps.append(statenet.decoder_view(cfg, state))
             img, layout = ((pkg["image_cf"], "NCHW") if "image_cf" in pkg
                            else (pkg["image"], "NHWC"))
             state = statenet.forward_modality(params, cfg, img, state,
                                               "image", times=times_im,
                                               input_layout=layout)
             if "image" in sel_keys:
-                snaps.append(state)
+                snaps.append(statenet.decoder_view(cfg, state))
             # [S*B, h, w, c] per leaf — fold the step axis into batch
             # here so the scan stacks a single batch-major buffer per scale
             stacked = jax.tree_util.tree_map(
@@ -230,7 +232,7 @@ class ERGB2DepthRecurrent:
         # leaves [L, S*B, h, w, c] -> [L*S*B, h, w, c]
         flat = jax.tree_util.tree_map(
             lambda v: v.reshape((-1,) + v.shape[2:]), snapshots)
-        batched_preds = statenet.forward_decoder(params, cfg, flat)
+        batched_preds = statenet.forward_decoder_supers(params, cfg, flat)
         b = (seq_t["image_cf"] if "image_cf" in seq_t
              else seq_t["image"]).shape[1]
         l = (seq_t["image_cf"] if "image_cf" in seq_t

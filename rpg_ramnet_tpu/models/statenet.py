@@ -276,6 +276,14 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
     return new_state
 
 
+def decoder_view(cfg: ModelConfig, state: StateNetState) -> Tuple:
+    """The per-scale tensors the decoder actually reads: hidden parts only.
+    Deferred-decode snapshots stack THIS instead of the full state — the
+    convlstm cells and the encoder recurrent states never feed the decoder,
+    so snapshotting them would double the scan-output HBM traffic."""
+    return tuple(_super_hidden(cfg, s) for s in state.super_states)
+
+
 def forward_decoder(params, cfg: ModelConfig, state: StateNetState,
                     norm_ctx=None):
     """Shared decoder over the current super states (statenet.py:290-315).
@@ -284,14 +292,22 @@ def forward_decoder(params, cfg: ModelConfig, state: StateNetState,
     decoders skip-connect the shallower super states; 1x1 pred conv +
     activation (sigmoid), NO head skip.
     """
-    x = _super_hidden(cfg, state.super_states[-1])
+    return forward_decoder_supers(params, cfg, decoder_view(cfg, state),
+                                  norm_ctx=norm_ctx)
+
+
+def forward_decoder_supers(params, cfg: ModelConfig, supers: Tuple,
+                           norm_ctx=None):
+    """forward_decoder on a pre-extracted `decoder_view` tuple (per-scale
+    hidden tensors)."""
+    x = supers[-1]
     for ri, rb in enumerate(params["resblocks"]):
         x = L.residual_block_apply(rb, x, cfg.norm,
                                    ctx=norm_ctx, path=f"resblocks.{ri}")
     n = cfg.num_encoders
     for i, dec in enumerate(params["decoders"]):
         if i > 0:
-            x = _skip(cfg, x, _super_hidden(cfg, state.super_states[n - i - 1]))
+            x = _skip(cfg, x, supers[n - i - 1])
         if cfg.use_upsample_conv:
             if cfg.fast_upsample:
                 x = L.upsample_conv_layer_fast_apply(
