@@ -276,3 +276,35 @@ def test_deferred_decode_equivalence():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 atol=1e-5, rtol=1e-5),
         outs["inscan"][1], outs["deferred"][1])
+
+
+def test_dp_mesh_deferred_decode_equals_single_device():
+    """The flagship TPU recipe combines DP sharding with deferred decode:
+    the snapshot concat/reshape crosses the sharded batch axis, so GSPMD
+    must produce the same result as single-device execution."""
+    cfg = Config.from_dict({**tiny_config().raw,
+                            "trainer": {**tiny_config().raw["trainer"],
+                                        "deferred_decode": True}})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(2), cfg.model)
+    opt = make_optimizer(cfg)
+    batch = make_batch(cfg, B=8, seed=9)
+
+    p1 = params
+    s1 = opt.init(p1)
+    step1 = make_train_step(cfg, opt, donate=False)
+    for _ in range(2):
+        p1, s1, aux1 = step1(p1, s1, batch)
+
+    mesh = make_mesh()
+    p2 = replicate(params, mesh)
+    s2 = opt.init(p2)
+    step8 = make_train_step(cfg, opt, mesh=mesh, donate=False)
+    sb = shard_batch(batch, mesh)
+    for _ in range(2):
+        p2, s2, aux2 = step8(p2, s2, sb)
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5, rtol=1e-4),
+        p1, p2)
