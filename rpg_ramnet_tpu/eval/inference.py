@@ -210,51 +210,66 @@ def run_chunked_streaming(dataset, params, cfg: ModelConfig,
 
     def load_chunk(sub, t0, size):
         items = [sub[i] for i in range(t0, min(t0 + chunk, size))]
-        out = {"events": np.stack([it["events"][0] for it in items]),
-               "image": np.stack([it["image"][0] for it in items])}
+        # host-side TIME-LEADING CHANNEL-FIRST packing: an NHWC chunk
+        # buffer scanned in-jit would be lane-padded 5->128 on the minor
+        # channel dim (~25x HBM) and the in-jit moveaxis would materialize
+        # the padded copy — the CLAUDE.md/PERF.md TPU layout rules.  The
+        # '_tcf'/'_t' keys are consumed as-is by forward_sequence AND
+        # forward_sequence_batched_decode.
+        ev = np.stack([it["events"][0] for it in items])   # [n, K, H, W, C]
+        im = np.stack([it["image"][0] for it in items])    # [n, H, W, C]
+        out = {
+            "events_tcf": np.ascontiguousarray(
+                np.transpose(ev, (0, 1, 4, 2, 3))[:, None]),  # [n,1,K,C,H,W]
+            "image_tcf": np.ascontiguousarray(
+                np.transpose(im, (0, 3, 1, 2))[:, None]),     # [n,1,C,H,W]
+        }
         # phased (irregular-timestamp) regime: chunk the continuous
         # timestamps too (they feed only the PhasedLSTM gates)
         if cfg.use_phased_arch and "times_events" in items[0]:
-            out["times_events"] = np.stack(
-                [np.atleast_1d(it["times_events"][0]) for it in items])
-            out["times_image"] = np.stack(
+            out["times_events_t"] = np.stack(
+                [np.atleast_1d(it["times_events"][0]) for it in items])[:, None]
+            out["times_image_t"] = np.stack(
                 [np.float32(np.asarray(it["times_image"][0]).ravel()[0])
-                 for it in items])
+                 for it in items])[:, None]
         n = len(items)
         if n < chunk:
             pad = chunk - n
             out = {k: np.concatenate(
                        [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
                    for k, v in out.items()}
-        return items, out
+        h, w = im.shape[1], im.shape[2]
+        return items, out, (h, w)
 
     pool = ThreadPoolExecutor(1)
-    # flat list of (sub, t0) chunk tasks so prefetch crosses sequence
-    # boundaries too
-    tasks = [(s, t0) for s in range(len(sizes))
-             for t0 in range(0, sizes[s], chunk)]
-    fut = pool.submit(load_chunk, dataset.datasets[tasks[0][0]], tasks[0][1],
-                      sizes[tasks[0][0]]) if tasks else None
-    state, cur_seq = None, -1
-    for ti, (s, t0) in enumerate(tasks):
-        items, arrs = fut.result()
-        if ti + 1 < len(tasks):
-            s2, t02 = tasks[ti + 1]
-            fut = pool.submit(load_chunk, dataset.datasets[s2], t02, sizes[s2])
-        if s != cur_seq:
-            h, w = arrs["image"].shape[1], arrs["image"].shape[2]
-            state = model.init_state(cfg, 1, h, w)
-            cur_seq = s
-        seq = {k: jnp.asarray(v)[None] for k, v in arrs.items()}
-        state, preds = fwd(params, state, seq)
-        if on_prediction is not None:
-            preds_np = {k: np.asarray(v) for k, v in preds.items()}
-            for j, item in enumerate(items):
-                gidx = int(starts[s] + t0 + j)
-                on_prediction(gidx,
-                              {k: v[j, 0] for k, v in preds_np.items()},
-                              item, t0 + j)
-    pool.shutdown()
+    try:
+        # flat list of (sub, t0) chunk tasks so prefetch crosses sequence
+        # boundaries too
+        tasks = [(s, t0) for s in range(len(sizes))
+                 for t0 in range(0, sizes[s], chunk)]
+        fut = pool.submit(load_chunk, dataset.datasets[tasks[0][0]],
+                          tasks[0][1], sizes[tasks[0][0]]) if tasks else None
+        state, cur_seq = None, -1
+        for ti, (s, t0) in enumerate(tasks):
+            items, arrs, (h, w) = fut.result()
+            if ti + 1 < len(tasks):
+                s2, t02 = tasks[ti + 1]
+                fut = pool.submit(load_chunk, dataset.datasets[s2], t02,
+                                  sizes[s2])
+            if s != cur_seq:
+                state = model.init_state(cfg, 1, h, w)
+                cur_seq = s
+            seq = {k: jnp.asarray(v) for k, v in arrs.items()}
+            state, preds = fwd(params, state, seq)
+            if on_prediction is not None:
+                preds_np = {k: np.asarray(v) for k, v in preds.items()}
+                for j, item in enumerate(items):
+                    gidx = int(starts[s] + t0 + j)
+                    on_prediction(gidx,
+                                  {k: v[j, 0] for k, v in preds_np.items()},
+                                  item, t0 + j)
+    finally:
+        pool.shutdown()
 
 
 class BatchedStreamingInference:

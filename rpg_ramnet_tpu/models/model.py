@@ -39,6 +39,61 @@ def prediction_keys(cfg: ModelConfig) -> Tuple[str, ...]:
     return tuple(f"events{k}" for k in range(event_loop_range(cfg))) + ("image",)
 
 
+_TL_RENAME = {"events_tcf": "events_cf", "image_tcf": "image_cf",
+              "times_events_t": "times_events", "times_image_t": "times_image"}
+
+
+def _time_leading_seq(seq):
+    """Normalize a sequence dict to time-leading scan inputs.  '*_tcf'/'*_t'
+    keys arrive already time-leading from pack_train_batch / chunked loaders
+    (no in-jit transpose: an XLA copy of the whole sequence into a
+    lane-padded layout would cost up to 25x HBM, see PERF.md); plain keys
+    are transposed here."""
+    seq_t = {}
+    for k, v in seq.items():
+        if k in _TL_RENAME:
+            seq_t[_TL_RENAME[k]] = v
+        elif k in ("events", "image", "times_events", "times_image"):
+            seq_t[k] = jnp.moveaxis(v, 1, 0)
+    return seq_t
+
+
+def _package_snapshot_step(params, cfg: ModelConfig, state, pkg, sel_keys):
+    """One datapackage of state updates (K event steps + image step, NO
+    decodes), returning the batch-concatenated decoder_view snapshots for
+    `sel_keys` — the shared body of both batched-decode paths.  Snapshots
+    carry hidden parts only: convlstm cells and encoder recurrent states
+    never feed the decoder (statenet.decoder_view)."""
+    from . import statenet
+    loop = event_loop_range(cfg)
+    event_modality = "image" if cfg.is_baseline else "events"
+    times_ev = pkg.get("times_events") if cfg.use_phased_arch else None
+    times_im = pkg.get("times_image") if cfg.use_phased_arch else None
+    snaps = []
+    for k in range(loop):
+        if "events_cf" in pkg:
+            x, layout = pkg["events_cf"][:, k], "NCHW"
+        else:
+            x, layout = pkg["events"][:, k], "NHWC"
+        t = times_ev[:, k] if times_ev is not None else None
+        state = statenet.forward_modality(params, cfg, x, state,
+                                          event_modality, times=t,
+                                          input_layout=layout)
+        if f"events{k}" in sel_keys:
+            snaps.append(statenet.decoder_view(cfg, state))
+    img, layout = ((pkg["image_cf"], "NCHW") if "image_cf" in pkg
+                   else (pkg["image"], "NHWC"))
+    state = statenet.forward_modality(params, cfg, img, state, "image",
+                                      times=times_im, input_layout=layout)
+    if "image" in sel_keys:
+        snaps.append(statenet.decoder_view(cfg, state))
+    # [S*B, h, w, c] per leaf — fold the step axis into batch so a scan
+    # stacks a single batch-major buffer per scale
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.concatenate(leaves, axis=0), *snaps)
+    return state, stacked
+
+
 @MODELS.register("ERGB2DepthRecurrent")
 class ERGB2DepthRecurrent:
     """The RAM-Net model (model/model.py:114-219)."""
@@ -114,36 +169,12 @@ class ERGB2DepthRecurrent:
         (irregular-timestamp) regime is supported: times feed only the
         PhasedLSTM gates inside forward_modality — the decoder reads just
         the super states, so deferring decodes is orthogonal."""
-        loop = event_loop_range(cfg)
-        event_modality = "image" if cfg.is_baseline else "events"
-        times_ev = pkg.get("times_events") if cfg.use_phased_arch else None
-        times_im = pkg.get("times_image") if cfg.use_phased_arch else None
-        snapshots = []
-        for k in range(loop):
-            if "events_cf" in pkg:
-                x, layout = pkg["events_cf"][:, k], "NCHW"
-            else:
-                x, layout = pkg["events"][:, k], "NHWC"
-            t = times_ev[:, k] if times_ev is not None else None
-            state = statenet.forward_modality(params, cfg, x, state,
-                                              event_modality, times=t,
-                                              input_layout=layout)
-            snapshots.append(statenet.decoder_view(cfg, state))
-        img, layout = ((pkg["image_cf"], "NCHW") if "image_cf" in pkg
-                       else (pkg["image"], "NHWC"))
-        state = statenet.forward_modality(params, cfg, img, state, "image",
-                                          times=times_im,
-                                          input_layout=layout)
-        snapshots.append(statenet.decoder_view(cfg, state))
-
-        # stack the per-step pyramids on batch: leaf [B,h,w,c] -> [(K+1)*B,...]
-        stacked = jax.tree_util.tree_map(
-            lambda *leaves: jnp.concatenate(leaves, axis=0), *snapshots)
+        keys = prediction_keys(cfg)
+        state, stacked = _package_snapshot_step(params, cfg, state, pkg, keys)
         batched_preds = statenet.forward_decoder_supers(params, cfg, stacked)
         b = (pkg["image_cf"] if "image_cf" in pkg else pkg["image"]).shape[0]
         preds = {}
-        for i in range(loop + 1):
-            key = f"events{i}" if i < loop else "image"
+        for i, key in enumerate(keys):
             preds[key] = batched_preds[i * b:(i + 1) * b]
         return state, preds
 
@@ -180,54 +211,23 @@ class ERGB2DepthRecurrent:
         scan; the decoder is unaffected.  Training-mode BN/IN (norm_stats)
         is NOT supported here: batch statistics over the stacked decode
         batch would differ from the reference's per-step statistics."""
-        loop = event_loop_range(cfg)
-        event_modality = "image" if cfg.is_baseline else "events"
-        all_keys = [f"events{k}" for k in range(loop)] + ["image"]
-        sel_keys = [k for k in all_keys
+        sel_keys = [k for k in prediction_keys(cfg)
                     if decode_keys is None or k in decode_keys]
+        if not sel_keys:
+            # nothing to decode (e.g. a decode_keys typo): degrade exactly
+            # like forward_sequence — state updates + empty preds — rather
+            # than tracing a zero-tree stack
+            return ERGB2DepthRecurrent.forward_sequence(
+                params, cfg, state, seq, decode_keys=(), remat=remat,
+                squeeze_preds=squeeze_preds)
 
         def step(state, pkg):
-            times_ev = pkg.get("times_events") if cfg.use_phased_arch else None
-            times_im = pkg.get("times_image") if cfg.use_phased_arch else None
-            snaps = []
-            for k in range(loop):
-                if "events_cf" in pkg:
-                    x, layout = pkg["events_cf"][:, k], "NCHW"
-                else:
-                    x, layout = pkg["events"][:, k], "NHWC"
-                t = times_ev[:, k] if times_ev is not None else None
-                state = statenet.forward_modality(params, cfg, x, state,
-                                                  event_modality, times=t,
-                                                  input_layout=layout)
-                if f"events{k}" in sel_keys:
-                    # hidden parts only — cells/encoder states never feed
-                    # the decoder (statenet.decoder_view)
-                    snaps.append(statenet.decoder_view(cfg, state))
-            img, layout = ((pkg["image_cf"], "NCHW") if "image_cf" in pkg
-                           else (pkg["image"], "NHWC"))
-            state = statenet.forward_modality(params, cfg, img, state,
-                                              "image", times=times_im,
-                                              input_layout=layout)
-            if "image" in sel_keys:
-                snaps.append(statenet.decoder_view(cfg, state))
-            # [S*B, h, w, c] per leaf — fold the step axis into batch
-            # here so the scan stacks a single batch-major buffer per scale
-            stacked = jax.tree_util.tree_map(
-                lambda *leaves: jnp.concatenate(leaves, axis=0), *snaps)
-            return state, stacked
+            return _package_snapshot_step(params, cfg, state, pkg, sel_keys)
 
         if remat:
             step = jax.checkpoint(step)
 
-        _TL_RENAME = {"events_tcf": "events_cf", "image_tcf": "image_cf",
-                      "times_events_t": "times_events",
-                      "times_image_t": "times_image"}
-        seq_t = {}
-        for k, v in seq.items():
-            if k in _TL_RENAME:
-                seq_t[_TL_RENAME[k]] = v
-            elif k in ("events", "image", "times_events", "times_image"):
-                seq_t[k] = jnp.moveaxis(v, 1, 0)
+        seq_t = _time_leading_seq(seq)
         final_state, snapshots = jax.lax.scan(step, state, seq_t)
         # leaves [L, S*B, h, w, c] -> [L*S*B, h, w, c]
         flat = jax.tree_util.tree_map(
@@ -302,19 +302,7 @@ class ERGB2DepthRecurrent:
 
         if remat:
             step = jax.checkpoint(step)
-        # time axis must lead for scan.  '*_tcf'/'*_t' keys arrive already
-        # time-leading from pack_train_batch (no in-jit transpose: an XLA
-        # copy of the whole sequence into a lane-padded layout would cost
-        # up to 25x HBM, see PERF.md); plain keys are transposed here.
-        _TL_RENAME = {"events_tcf": "events_cf", "image_tcf": "image_cf",
-                      "times_events_t": "times_events",
-                      "times_image_t": "times_image"}
-        seq_t = {}
-        for k, v in seq.items():
-            if k in _TL_RENAME:
-                seq_t[_TL_RENAME[k]] = v
-            elif k in ("events", "image", "times_events", "times_image"):
-                seq_t[k] = jnp.moveaxis(v, 1, 0)
+        seq_t = _time_leading_seq(seq)
         if remat_chunk > 1:
             # group the time axis: [L, ...] -> [L/chunk, chunk, ...]
             def group(v):

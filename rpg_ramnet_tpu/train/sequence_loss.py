@@ -122,6 +122,21 @@ def make_sequence_loss(cfg: Config, remat: bool = False,
     # (reference trains torch .train() when norm is configured,
     # submodules.py:13-24)
     train_norm = training and mcfg.norm in ("BN", "IN")
+    if cfg.trainer.deferred_decode and \
+            max(int(getattr(cfg.trainer, "remat_chunk", 1)), 1) > 1:
+        import warnings
+        warnings.warn(
+            "trainer.deferred_decode is incompatible with remat_chunk>1 "
+            "(the batched-decode scan checkpoints per package); honoring "
+            "remat_chunk with the in-scan decode path instead",
+            stacklevel=2)
+    if cfg.trainer.deferred_decode and train_norm:
+        import warnings
+        warnings.warn(
+            "trainer.deferred_decode is incompatible with training-mode "
+            "BN/IN (batch stats must match the reference's per-step "
+            "statistics); using the in-scan decode path",
+            stacklevel=2)
 
     def loss_fn(params, state0, batch):
         seq_in = {k: batch[k] for k in
@@ -138,7 +153,7 @@ def make_sequence_loss(cfg: Config, remat: bool = False,
                 params, mcfg, state0, seq_in, decode_keys=keys, remat=remat,
                 squeeze_preds=True, norm_stats=stats0, remat_chunk=rc)
             norm_stats_out = jax.lax.stop_gradient(norm_stats_out)
-        elif (cfg.trainer.deferred_decode
+        elif (cfg.trainer.deferred_decode and rc == 1
               and hasattr(model, "forward_sequence_batched_decode")):
             # decoder outside the (remat'd) scan: the L*B*|keys| supervised
             # decodes run as ONE batch with normally-stored activations —

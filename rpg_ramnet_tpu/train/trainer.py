@@ -180,6 +180,13 @@ class Trainer:
             item, _ = loader.dataset[idx]
             seq = {"events": jax.numpy.asarray(item["events"][None]),
                    "image": jax.numpy.asarray(item["image"][None])}
+            # phased runs gate the recurrent state on continuous times —
+            # previews must see the same forward as training, not zero times
+            if self.cfg.use_phased_arch:
+                for tk in ("times_events", "times_image"):
+                    if tk in item:
+                        seq[tk] = jax.numpy.asarray(
+                            np.asarray(item[tk])[None])
             b, l, h, w = 1, item["image"].shape[0], item["image"].shape[1], item["image"].shape[2]
             state0 = model.init_state(mcfg, 1, h, w)
             _, preds = model.forward_sequence(
@@ -200,13 +207,11 @@ class Trainer:
             gt_ref = gt_for((sup_keys or list(preds))[-1])
             for key in preds:
                 pred = np.asarray(preds[key])[:, 0, :, :, 0]       # [L, H, W]
+                gt = gt_for(key)
                 if key == "image":
-                    gt = gt_for(key)
                     inp = item["image"].sum(axis=-1)
                 else:
-                    k = int(key[len("events"):])
-                    gt = gt_for(key)
-                    inp = item["events"][:, k].sum(axis=-1)
+                    inp = item["events"][:, int(key[len("events"):])].sum(axis=-1)
                 # grid rows: inputs / predictions / ground truth over time
                 grid = np.concatenate([
                     np.concatenate(list(np.clip(inp * 0.5 + 0.5, 0, 1)), axis=1),
