@@ -130,13 +130,17 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
 
 
 def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
-                      dtype="float32", with_costs=False):
+                      dtype="float32", with_costs=False, precompute=False):
     """Offline chunked streaming (test.py --scan_chunk semantics): scan the
     sequential encoder+GRU work over L packages, decode ALL L*(K+1)
     snapshots in ONE batch (model.forward_sequence_batched_decode; outputs
     bit-identical to per-package streaming).  This is the throughput mode
     for recorded datasets — exactly the reference test.py regime
-    (test.py:207-384), where per-package latency is irrelevant."""
+    (test.py:207-384), where per-package latency is irrelevant.
+
+    precompute=True additionally hoists the state-independent x-side work
+    (encoders + GRU x-side gate convs) out of the scan
+    (model.forward_sequence_precomputed; ~1 ulp from bit-identical)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -166,8 +170,10 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
             st, acc = carry
             eps = (i + 1).astype(jnp.float32) * 1e-9
             seq_i = {k: v + eps for k, v in seq.items()}
-            st, preds = ERGB2DepthRecurrent.forward_sequence_batched_decode(
-                params, mcfg, st, seq_i)
+            fseq = (ERGB2DepthRecurrent.forward_sequence_precomputed
+                    if precompute
+                    else ERGB2DepthRecurrent.forward_sequence_batched_decode)
+            st, preds = fseq(params, mcfg, st, seq_i)
             # consume every prediction (decodes don't feed the state; see
             # the DCE note in bench_jax_fps)
             acc = acc + sum(jnp.sum(p.astype(jnp.float32))

@@ -125,6 +125,20 @@ class StreamingInference:
         return np.asarray(pred[0])
 
 
+def _resolve_precompute(cfg: ModelConfig, precompute_x, model) -> bool:
+    """Tri-state precompute_x: None = auto (on only where measured faster —
+    bf16 compute on the supported flagship config: the f32 gx buffers cost
+    more HBM traffic than the halved sequential GRU work saves, PERF.md);
+    True forces (model raises if the config is unsupported); False off."""
+    from ..models import statenet
+    if not hasattr(model, "forward_sequence_precomputed"):
+        return False
+    if precompute_x is None:
+        return (statenet.supports_x_precompute(cfg)
+                and cfg.compute_dtype == "bfloat16")
+    return bool(precompute_x)
+
+
 class SequenceScanInference:
     """Whole-sequence inference as one jitted lax.scan per chunk: fewer
     host->device dispatches than per-package streaming (identical outputs).
@@ -138,13 +152,19 @@ class SequenceScanInference:
     (test.py semantics), where per-package latency doesn't matter."""
 
     def __init__(self, params, cfg: ModelConfig, arch: str = "ERGB2DepthRecurrent",
-                 chunk: int = 32, batched_decode: bool = False):
+                 chunk: int = 32, batched_decode: bool = False,
+                 precompute_x: Optional[bool] = None):
         self.params = params
         self.cfg = cfg
         self.chunk = chunk
         self.model = get_model(arch)
-        if batched_decode and hasattr(self.model,
-                                      "forward_sequence_batched_decode"):
+        if batched_decode and _resolve_precompute(cfg, precompute_x,
+                                                  self.model):
+            self._fwd = jax.jit(
+                lambda p, s, seq: self.model.forward_sequence_precomputed(
+                    p, cfg, s, seq))
+        elif batched_decode and hasattr(self.model,
+                                        "forward_sequence_batched_decode"):
             self._fwd = jax.jit(
                 lambda p, s, seq: self.model.forward_sequence_batched_decode(
                     p, cfg, s, seq))
@@ -180,13 +200,16 @@ class SequenceScanInference:
 def run_chunked_streaming(dataset, params, cfg: ModelConfig,
                           arch: str = "ERGB2DepthRecurrent", chunk: int = 16,
                           on_prediction=None, batched_decode: bool = True,
-                          decode_keys=None):
+                          decode_keys=None,
+                          precompute_x: Optional[bool] = None):
     """Offline chunked streaming over a ConcatSequenceDataset: each sequence
     is processed `chunk` packages at a time through ONE jitted program
     (scan of encoders+state, then — with batched_decode — a single decoder
     pass over all chunk*(K+1) snapshots).  Outputs identical to per-package
-    streaming; per-item latency is traded for throughput, which is exactly
-    the reference test.py regime (recorded datasets, test.py:207-384).
+    streaming (within ~1 ulp when precompute_x hoists the x-side GRU work,
+    see _resolve_precompute); per-item latency is traded for throughput,
+    which is exactly the reference test.py regime (recorded datasets,
+    test.py:207-384).
 
     State is carried across chunks within a sequence and re-zeroed at every
     sequence boundary; the tail chunk is zero-padded to the compiled length
@@ -198,7 +221,10 @@ def run_chunked_streaming(dataset, params, cfg: ModelConfig,
 
     model = get_model(arch)
     dk = tuple(decode_keys) if decode_keys else None
-    if batched_decode and hasattr(model, "forward_sequence_batched_decode"):
+    if batched_decode and _resolve_precompute(cfg, precompute_x, model):
+        fwd = jax.jit(lambda p, s, seq: model.forward_sequence_precomputed(
+            p, cfg, s, seq, decode_keys=dk))
+    elif batched_decode and hasattr(model, "forward_sequence_batched_decode"):
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence_batched_decode(
             p, cfg, s, seq, decode_keys=dk))
     else:

@@ -480,6 +480,47 @@ def conv_gru_apply(p, x, prev_state, padding=1):
     return prev_state * (1.0 - update) + out * update
 
 
+def conv_gru_x_gates(p, x, padding=1):
+    """Precomputable x-side of the three ConvGRU gate convs, as ONE conv.
+
+    conv([x, h], W) == conv(x, W[:, :, :Cx]) + conv(h, W[:, :, Cx:]) — the
+    x-side is state-independent, so for recurrent_block_type='conv' configs
+    it can run BATCHED over all steps of a sequence outside the scan, while
+    only the h-side (half the MACs) stays on the sequential critical path
+    (the per-scale GRU chain is ~40% of package time, PERF.md).  Returns
+    [..., 3C] in (update, reset, out) gate order; the biases are folded in
+    here so the h-side convs are bias-free."""
+    hidden = p["update_gate"]["weight"].shape[3]
+    cx = p["update_gate"]["weight"].shape[2] - hidden
+    wx = jnp.concatenate([p[g]["weight"][:, :, :cx]
+                          for g in ("update_gate", "reset_gate", "out_gate")],
+                         axis=-1)
+    bx = jnp.concatenate([p[g]["bias"]
+                          for g in ("update_gate", "reset_gate", "out_gate")])
+    return conv2d(x, wx, bx, 1, padding)
+
+
+def conv_gru_apply_hside(p, gx, prev_state, padding=1):
+    """Sequential h-side completion of conv_gru_apply given precomputed
+    x-side gate contributions gx = conv_gru_x_gates(p, x).
+
+    Matches conv_gru_apply up to float summation order: the fused [x, h]
+    conv accumulates across the channel split inside one dot, here the two
+    halves are summed post-conv (differences ~1 ulp; NOT bit-identical)."""
+    hidden = prev_state.shape[-1]
+    wh_ur = jnp.concatenate([p["update_gate"]["weight"][:, :, -hidden:],
+                             p["reset_gate"]["weight"][:, :, -hidden:]],
+                            axis=-1)
+    ur = jax.nn.sigmoid(conv2d(prev_state, wh_ur, None, 1, padding)
+                        + gx[..., :2 * hidden])
+    update, reset = ur[..., :hidden], ur[..., hidden:]
+    out = jnp.tanh(conv2d(prev_state * reset,
+                          p["out_gate"]["weight"][:, :, -hidden:], None,
+                          1, padding)
+                   + gx[..., 2 * hidden:])
+    return prev_state * (1.0 - update) + out * update
+
+
 # RecurrentConvLayer (submodules.py:100-120): bare recurrent block (its conv
 # is commented out in the reference), used for per-scale state combination.
 

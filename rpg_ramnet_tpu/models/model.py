@@ -94,6 +94,24 @@ def _package_snapshot_step(params, cfg: ModelConfig, state, pkg, sel_keys):
     return state, stacked
 
 
+def _decode_snapshots(params, cfg: ModelConfig, snapshots, sel_keys, l, b,
+                      squeeze_preds):
+    """ONE decoder pass over scan-stacked snapshot pyramids (leaves
+    [L, S*B, h, w, c]), regrouped into per-key [L, B, H, W(, 1)] preds —
+    the shared tail of the deferred-decode sequence paths."""
+    flat = jax.tree_util.tree_map(
+        lambda v: v.reshape((-1,) + v.shape[2:]), snapshots)
+    batched_preds = statenet.forward_decoder_supers(params, cfg, flat)
+    # [L, S, B, H, W, 1] -> per-key [L, B, H, W, 1]
+    grouped = batched_preds.reshape((l, len(sel_keys), b)
+                                    + batched_preds.shape[1:])
+    preds = {}
+    for i, key in enumerate(sel_keys):
+        p = grouped[:, i]
+        preds[key] = p[..., 0] if squeeze_preds else p
+    return preds
+
+
 @MODELS.register("ERGB2DepthRecurrent")
 class ERGB2DepthRecurrent:
     """The RAM-Net model (model/model.py:114-219)."""
@@ -229,22 +247,97 @@ class ERGB2DepthRecurrent:
 
         seq_t = _time_leading_seq(seq)
         final_state, snapshots = jax.lax.scan(step, state, seq_t)
-        # leaves [L, S*B, h, w, c] -> [L*S*B, h, w, c]
-        flat = jax.tree_util.tree_map(
-            lambda v: v.reshape((-1,) + v.shape[2:]), snapshots)
-        batched_preds = statenet.forward_decoder_supers(params, cfg, flat)
-        b = (seq_t["image_cf"] if "image_cf" in seq_t
-             else seq_t["image"]).shape[1]
-        l = (seq_t["image_cf"] if "image_cf" in seq_t
-             else seq_t["image"]).shape[0]
-        # [L, S, B, H, W, 1] -> per-key [L, B, H, W, 1]
-        grouped = batched_preds.reshape((l, len(sel_keys), b)
-                                        + batched_preds.shape[1:])
-        preds = {}
-        for i, key in enumerate(sel_keys):
-            p = grouped[:, i]
-            preds[key] = p[..., 0] if squeeze_preds else p
+        img_t = seq_t["image_cf"] if "image_cf" in seq_t else seq_t["image"]
+        preds = _decode_snapshots(params, cfg, snapshots, sel_keys,
+                                  img_t.shape[0], img_t.shape[1],
+                                  squeeze_preds)
         return final_state, preds
+
+    @staticmethod
+    def forward_sequence_precomputed(params, cfg: ModelConfig, state, seq,
+                                     decode_keys: Optional[Sequence[str]] = None,
+                                     squeeze_preds: bool = False):
+        """forward_sequence_batched_decode with the per-step x-side work ALSO
+        hoisted out of the scan: for recurrent_block_type='conv' +
+        state_combination='convgru' (the flagship recipe) the encoder chain
+        is state-independent (statenet.py:204-239 — head + strided convs
+        see only the input), and each ConvGRU gate conv on cat(x, h) splits
+        into conv_x(x) + conv_h(h).  So:
+
+          1. ONE batched pass runs head+encoders+GRU-x-side gate convs for
+             all L*(K+1) steps (events and image separately — disjoint
+             params);
+          2. the lax.scan carries only the per-scale h-side GRU completions
+             (HALF the GRU conv MACs — the sequential critical path);
+          3. one batched decoder pass over the selected snapshots, as in
+             forward_sequence_batched_decode.
+
+        Outputs match forward_sequence to float-summation order (the split
+        conv sums its halves post-dot; ~1 ulp — NOT bit-identical, unlike
+        the pure deferred-decode paths).  Inference-path only: no remat /
+        norm_stats (the full-sequence gx buffers are the point — in
+        training they would displace the remat savings).
+
+        seq: same layouts as forward_sequence ('events'/'image' batch-
+        leading or '*_tcf' time-leading channel-first)."""
+        if not statenet.supports_x_precompute(cfg):
+            raise ValueError(
+                "forward_sequence_precomputed requires recurrent_block_type="
+                "'conv' + state_combination='convgru' (non-baseline); got "
+                f"{cfg.recurrent_block_type}/{cfg.state_combination}")
+        sel_keys = [k for k in prediction_keys(cfg)
+                    if decode_keys is None or k in decode_keys]
+        if not sel_keys:
+            return ERGB2DepthRecurrent.forward_sequence_batched_decode(
+                params, cfg, state, seq, decode_keys=(),
+                squeeze_preds=squeeze_preds)
+        loop = event_loop_range(cfg)
+        seq_t = _time_leading_seq(seq)
+        ev, ev_layout = ((seq_t["events_cf"], "NCHW")
+                         if "events_cf" in seq_t
+                         else (seq_t["events"], "NHWC"))
+        img, im_layout = ((seq_t["image_cf"], "NCHW")
+                          if "image_cf" in seq_t
+                          else (seq_t["image"], "NHWC"))
+        l, b, kk = ev.shape[0], ev.shape[1], ev.shape[2]
+        assert kk == loop, (kk, loop)
+        # flatten (l, b, k) -> batch: pure reshapes, no transposes (the
+        # in-scan step indexes gx[:, k] instead)
+        ev_flat = ev.reshape((l * b * loop,) + ev.shape[3:])
+        im_flat = img.reshape((l * b,) + img.shape[2:])
+        gx_ev = [g.reshape((l, b, loop) + g.shape[1:])
+                 for g in statenet.gru_x_gates(
+                     params, cfg,
+                     statenet.encoder_features(params, cfg, ev_flat,
+                                               "events", ev_layout),
+                     "events")]
+        gx_im = [g.reshape((l, b) + g.shape[1:])
+                 for g in statenet.gru_x_gates(
+                     params, cfg,
+                     statenet.encoder_features(params, cfg, im_flat,
+                                               "image", im_layout),
+                     "image")]
+
+        def step(supers, gx):
+            gev, gim = gx
+            snaps = []
+            for k in range(loop):
+                supers = statenet.combine_hside(
+                    params, cfg, supers, [g[:, k] for g in gev], "events")
+                if f"events{k}" in sel_keys:
+                    snaps.append(supers)
+            supers = statenet.combine_hside(params, cfg, supers, gim, "image")
+            if "image" in sel_keys:
+                snaps.append(supers)
+            stacked = jax.tree_util.tree_map(
+                lambda *leaves: jnp.concatenate(leaves, axis=0), *snaps)
+            return supers, stacked
+
+        final_supers, snapshots = jax.lax.scan(
+            step, tuple(state.super_states), (tuple(gx_ev), tuple(gx_im)))
+        preds = _decode_snapshots(params, cfg, snapshots, sel_keys, l, b,
+                                  squeeze_preds)
+        return state._replace(super_states=final_supers), preds
 
     @staticmethod
     def forward_sequence(params, cfg: ModelConfig, state, seq,

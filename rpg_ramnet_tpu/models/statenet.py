@@ -276,6 +276,57 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
     return new_state
 
 
+def supports_x_precompute(cfg: ModelConfig) -> bool:
+    """True when the encoder chain is state-independent and the state
+    combination is ConvGRU — the configs whose per-step x-side work
+    (head + strided encoders + GRU x-side gate convs) can be batched over
+    all steps of a sequence outside the scan.  This is the flagship
+    EventScape recipe (recurrent_block_type='conv', convgru)."""
+    return (not cfg.is_baseline and cfg.recurrent_block_type == "conv"
+            and cfg.state_combination == "convgru")
+
+
+def encoder_features(params, cfg: ModelConfig, x, modality: str,
+                     input_layout: str = "NHWC") -> List[Any]:
+    """State-independent encoder sweep (recurrent_block_type='conv' only):
+    head conv + strided encoder convs, returning the per-scale
+    pre-state-combination features — the `x` each scale's GRU consumes in
+    forward_modality.  Callable on ANY batch (e.g. all L*(K+1) steps of a
+    sequence at once, statenet.py:204-239 runs it per step)."""
+    assert cfg.recurrent_block_type == "conv"
+    is_events = modality == "events"
+    head_p = params["head_events" if is_events else "head_rgb"]
+    encoders = params["encoders_events" if is_events else "encoders_rgb"]
+    x = x.astype(compute_dtype(cfg))
+    x = L.conv_layer_apply(head_p, x, 1, 2, "relu", None,
+                           input_layout=input_layout)
+    xs = []
+    for i in range(cfg.num_encoders):
+        x = L.conv_layer_apply(encoders[i], x, 2, 2, "relu", cfg.norm)
+        xs.append(x)
+    return xs
+
+
+def gru_x_gates(params, cfg: ModelConfig, xs: Sequence[Any],
+                modality: str) -> List[Any]:
+    """Per-scale precomputed x-side GRU gate contributions (layers
+    .conv_gru_x_gates) for the given encoder_features."""
+    combs = params["state_combination_events" if modality == "events"
+                   else "state_combination_images"]
+    return [L.conv_gru_x_gates(c["recurrent_block"], x)
+            for c, x in zip(combs, xs)]
+
+
+def combine_hside(params, cfg: ModelConfig, supers: Tuple, gx_scales,
+                  modality: str) -> Tuple:
+    """One modality step of per-scale ConvGRU state combination from
+    precomputed x-side gates (the sequential h-side only)."""
+    combs = params["state_combination_events" if modality == "events"
+                   else "state_combination_images"]
+    return tuple(L.conv_gru_apply_hside(c["recurrent_block"], g, s)
+                 for c, g, s in zip(combs, gx_scales, supers))
+
+
 def decoder_view(cfg: ModelConfig, state: StateNetState) -> Tuple:
     """The per-scale tensors the decoder actually reads: hidden parts only.
     Deferred-decode snapshots stack THIS instead of the full state — the

@@ -223,6 +223,20 @@ def test_chunked_streaming_decode_keys(test_split):
                                    full[idx]["image"],
                                    atol=1e-5, rtol=1e-5, err_msg=f"idx={idx}")
 
+    # forced x-side precompute (auto-on only for bf16 configs): same
+    # outputs through the chunked driver, including decode_keys
+    pre = {}
+    run_chunked_streaming(
+        dataset, params, mcfg, chunk=4, precompute_x=True,
+        on_prediction=lambda gidx, preds, item, seq_pos: pre.__setitem__(
+            gidx, preds))
+    assert set(pre) == set(full)
+    for idx in full:
+        for k in full[idx]:
+            np.testing.assert_allclose(pre[idx][k], full[idx][k],
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"idx={idx} key={k}")
+
 
 def test_phased_batched_and_chunked_decode_equal_sequential(tmp_path):
     """Phased (irregular-timestamp) regime through BOTH deferred-decode
@@ -332,3 +346,63 @@ def test_batched_phased_times_equals_single_lane(tmp_path):
     for idx in single:
         np.testing.assert_allclose(batched[idx], single[idx],
                                    atol=1e-5, rtol=1e-5, err_msg=f"idx={idx}")
+
+
+def test_sequence_precomputed_equals_forward_sequence(test_split):
+    """forward_sequence_precomputed (encoders + GRU x-side gate convs hoisted
+    out of the scan as ONE batched pass; only the h-side GRU completions stay
+    sequential) must match forward_sequence to float-summation tolerance —
+    conv([x,h], W) == conv_x(x) + conv_h(h) exactly, ~1 ulp in float."""
+    cfg = tiny_config(every_x_rgb_frame=3)
+    mcfg = cfg.model
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(5), mcfg)
+    rng = np.random.default_rng(1)
+    B, L, K, H, W = 2, 4, 3, 32, 32
+    seq = {"events": rng.standard_normal(
+               (B, L, K, H, W, mcfg.num_bins_events)).astype(np.float32),
+           "image": rng.standard_normal(
+               (B, L, H, W, mcfg.num_bins_rgb)).astype(np.float32)}
+    state0 = ERGB2DepthRecurrent.init_state(mcfg, B, H, W)
+    s_ref, p_ref = ERGB2DepthRecurrent.forward_sequence(
+        params, mcfg, state0, seq)
+    s_pre, p_pre = ERGB2DepthRecurrent.forward_sequence_precomputed(
+        params, mcfg, state0, seq)
+    assert set(p_ref) == set(p_pre)
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_pre[k]), np.asarray(p_ref[k]),
+                                   atol=1e-5, rtol=1e-5, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), s_ref, s_pre)
+
+    # time-leading channel-first layout + decode_keys subset + squeeze
+    seq_tcf = {
+        "events_tcf": np.ascontiguousarray(
+            np.transpose(seq["events"], (1, 0, 2, 5, 3, 4))),
+        "image_tcf": np.ascontiguousarray(
+            np.transpose(seq["image"], (1, 0, 4, 2, 3))),
+    }
+    s_t, p_t = ERGB2DepthRecurrent.forward_sequence_precomputed(
+        params, mcfg, state0, seq_tcf, decode_keys=("events1", "image"),
+        squeeze_preds=True)
+    assert set(p_t) == {"events1", "image"}
+    for k in p_t:
+        np.testing.assert_allclose(np.asarray(p_t[k]),
+                                   np.asarray(p_ref[k])[..., 0],
+                                   atol=1e-5, rtol=1e-5, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), s_ref, s_t)
+
+
+def test_sequence_precomputed_rejects_unsupported_config():
+    """Only state-independent encoders (recurrent_block_type='conv') +
+    convgru state combination can hoist the x-side work."""
+    cfg = tiny_config(every_x_rgb_frame=3)
+    import dataclasses
+    mcfg = dataclasses.replace(cfg.model, recurrent_block_type="convlstm")
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    state0 = ERGB2DepthRecurrent.init_state(mcfg, 1, 32, 32)
+    with pytest.raises(ValueError, match="precompute"):
+        ERGB2DepthRecurrent.forward_sequence_precomputed(
+            params, mcfg, state0, {})
