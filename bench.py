@@ -170,10 +170,19 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
             st, acc = carry
             eps = (i + 1).astype(jnp.float32) * 1e-9
             seq_i = {k: v + eps for k, v in seq.items()}
-            fseq = (ERGB2DepthRecurrent.forward_sequence_precomputed
-                    if precompute
-                    else ERGB2DepthRecurrent.forward_sequence_batched_decode)
-            st, preds = fseq(params, mcfg, st, seq_i)
+            if precompute == "package":
+                # package-scoped x-side batching inside the scan (bounded
+                # gx memory; the training-path variant)
+                st, preds = \
+                    ERGB2DepthRecurrent.forward_sequence_batched_decode(
+                        params, mcfg, st, seq_i, package_precompute=True)
+            elif precompute:
+                st, preds = ERGB2DepthRecurrent.forward_sequence_precomputed(
+                    params, mcfg, st, seq_i)
+            else:
+                st, preds = \
+                    ERGB2DepthRecurrent.forward_sequence_batched_decode(
+                        params, mcfg, st, seq_i)
             # consume every prediction (decodes don't feed the state; see
             # the DCE note in bench_jax_fps)
             acc = acc + sum(jnp.sum(p.astype(jnp.float32))
@@ -213,7 +222,7 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
 
 def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
                      dtype="float32", remat=True, remat_chunk=1,
-                     deferred_decode=False):
+                     deferred_decode=False, precompute_x=False):
     """Full TBPTT training-step throughput (the reference recipe: batch 8,
     sequence 10, 224x224 random crops, SI + multi-scale-grad loss) in
     sequences/sec.  Loop-in-jit timing like the fps bench.
@@ -241,7 +250,8 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
         "trainer": {"epochs": 1, "sequence_length": L,
                     "loss_composition": ["image", "events4"],
                     "loss_weights": [1, 1], "remat_chunk": remat_chunk,
-                    "deferred_decode": deferred_decode},
+                    "deferred_decode": deferred_decode,
+                    "precompute_x": precompute_x},
         "model": {"num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
                   "recurrent_block_type": "conv", "state_combination": "convgru",
                   "num_encoders": 3, "base_num_channels": 32,

@@ -163,6 +163,12 @@ class TrainerConfig:
     # BN/IN training mode falls back to the in-scan decode — batch stats
     # must match the reference's per-step statistics)
     deferred_decode: bool = False
+    # with deferred_decode: batch each package's state-independent x-side
+    # work (encoder sweeps + ConvGRU x-side gate convs) inside the scan
+    # step, leaving only h-side GRU completions sequential (requires
+    # recurrent_block_type='conv' + convgru; gradients equal to float
+    # summation order — NOT bitwise)
+    precompute_x: bool = False
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "TrainerConfig":
@@ -191,6 +197,7 @@ class TrainerConfig:
             remat=bool(d.get("remat", True)),
             remat_chunk=int(d.get("remat_chunk", 1)),
             deferred_decode=bool(d.get("deferred_decode", False)),
+            precompute_x=bool(d.get("precompute_x", False)),
         )
 
 

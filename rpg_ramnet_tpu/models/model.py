@@ -94,6 +94,48 @@ def _package_snapshot_step(params, cfg: ModelConfig, state, pkg, sel_keys):
     return state, stacked
 
 
+def _package_snapshot_step_pre(params, cfg: ModelConfig, state, pkg,
+                               sel_keys):
+    """_package_snapshot_step with the package's x-side work batched:
+    the K event encoder sweeps + x-side GRU gate convs run as ONE (K*B)-deep
+    pass (they are state-independent under recurrent_block_type='conv'),
+    leaving only the K+1 h-side GRU completions sequential.  gx memory is
+    bounded to one package, so this composes with remat'd training scans
+    (unlike forward_sequence_precomputed's whole-chunk buffers)."""
+    loop = event_loop_range(cfg)
+    if "events_cf" in pkg:
+        ev, layout = pkg["events_cf"], "NCHW"    # [B, K, C, H, W]
+    else:
+        ev, layout = pkg["events"], "NHWC"       # [B, K, H, W, C]
+    b = ev.shape[0]
+    ev_flat = ev.reshape((b * loop,) + ev.shape[2:])
+    gx_ev = [g.reshape((b, loop) + g.shape[1:])
+             for g in statenet.gru_x_gates(
+                 params, cfg,
+                 statenet.encoder_features(params, cfg, ev_flat, "events",
+                                           layout),
+                 "events")]
+    img, im_layout = ((pkg["image_cf"], "NCHW") if "image_cf" in pkg
+                      else (pkg["image"], "NHWC"))
+    gx_im = statenet.gru_x_gates(
+        params, cfg,
+        statenet.encoder_features(params, cfg, img, "image", im_layout),
+        "image")
+    supers = tuple(state.super_states)
+    snaps = []
+    for k in range(loop):
+        supers = statenet.combine_hside(
+            params, cfg, supers, [g[:, k] for g in gx_ev], "events")
+        if f"events{k}" in sel_keys:
+            snaps.append(supers)
+    supers = statenet.combine_hside(params, cfg, supers, gx_im, "image")
+    if "image" in sel_keys:
+        snaps.append(supers)
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.concatenate(leaves, axis=0), *snaps)
+    return state._replace(super_states=supers), stacked
+
+
 def _decode_snapshots(params, cfg: ModelConfig, snapshots, sel_keys, l, b,
                       squeeze_preds):
     """ONE decoder pass over scan-stacked snapshot pyramids (leaves
@@ -200,7 +242,8 @@ class ERGB2DepthRecurrent:
     def forward_sequence_batched_decode(params, cfg: ModelConfig, state, seq,
                                         decode_keys: Optional[Sequence[str]] = None,
                                         remat: bool = False,
-                                        squeeze_preds: bool = False):
+                                        squeeze_preds: bool = False,
+                                        package_precompute: bool = False):
         """forward_sequence with ALL decodes deferred and batched: lax.scan
         runs only the sequential work (encoders + per-scale recurrent state
         combination), stacking the per-package super-state pyramids; ONE
@@ -228,7 +271,14 @@ class ERGB2DepthRecurrent:
         regime is supported — times feed only the PhasedLSTM gates in the
         scan; the decoder is unaffected.  Training-mode BN/IN (norm_stats)
         is NOT supported here: batch statistics over the stacked decode
-        batch would differ from the reference's per-step statistics."""
+        batch would differ from the reference's per-step statistics.
+
+        package_precompute: batch each package's state-independent x-side
+        work (encoder sweeps + ConvGRU x-side gate convs, a (K*B)-deep
+        pass) inside the scan step — see _package_snapshot_step_pre.
+        Unlike forward_sequence_precomputed, gx memory stays bounded to
+        one package, so this composes with remat (trainer.precompute_x).
+        Gradients equal to float-summation order (~1 ulp, NOT bitwise)."""
         sel_keys = [k for k in prediction_keys(cfg)
                     if decode_keys is None or k in decode_keys]
         if not sel_keys:
@@ -239,8 +289,15 @@ class ERGB2DepthRecurrent:
                 params, cfg, state, seq, decode_keys=(), remat=remat,
                 squeeze_preds=squeeze_preds)
 
+        if package_precompute and not statenet.supports_x_precompute(cfg):
+            raise ValueError(
+                "package_precompute requires recurrent_block_type='conv' + "
+                "state_combination='convgru' (non-baseline)")
+        step_fn = (_package_snapshot_step_pre if package_precompute
+                   else _package_snapshot_step)
+
         def step(state, pkg):
-            return _package_snapshot_step(params, cfg, state, pkg, sel_keys)
+            return step_fn(params, cfg, state, pkg, sel_keys)
 
         if remat:
             step = jax.checkpoint(step)

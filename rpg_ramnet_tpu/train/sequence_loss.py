@@ -137,6 +137,16 @@ def make_sequence_loss(cfg: Config, remat: bool = False,
             "BN/IN (batch stats must match the reference's per-step "
             "statistics); using the in-scan decode path",
             stacklevel=2)
+    from ..models import statenet
+    pre_x = bool(getattr(cfg.trainer, "precompute_x", False))
+    if pre_x and not (cfg.trainer.deferred_decode
+                      and statenet.supports_x_precompute(mcfg)):
+        import warnings
+        warnings.warn(
+            "trainer.precompute_x requires deferred_decode AND the "
+            "recurrent_block_type='conv' + convgru config; ignoring it",
+            stacklevel=2)
+        pre_x = False
 
     def loss_fn(params, state0, batch):
         seq_in = {k: batch[k] for k in
@@ -162,7 +172,7 @@ def make_sequence_loss(cfg: Config, remat: bool = False,
             # tests/test_train.py)
             _, preds = model.forward_sequence_batched_decode(
                 params, mcfg, state0, seq_in, decode_keys=keys, remat=remat,
-                squeeze_preds=True)
+                squeeze_preds=True, package_precompute=pre_x)
         else:
             _, preds = model.forward_sequence(params, mcfg, state0, seq_in,
                                               decode_keys=keys, remat=remat,

@@ -278,6 +278,71 @@ def test_deferred_decode_equivalence():
         outs["inscan"][1], outs["deferred"][1])
 
 
+def test_precompute_x_training_equivalence():
+    """trainer.precompute_x batches each package's encoder sweeps + ConvGRU
+    x-side gate convs inside the remat'd deferred-decode scan step; loss and
+    gradients must match the plain deferred path to float-summation
+    tolerance (conv([x,h]) == conv_x(x)+conv_h(h) exactly; ~1 ulp float)."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+    from rpg_ramnet_tpu.core.config import Config
+    cfg1 = Config.from_dict({**tiny_config().raw,
+                             "trainer": {**tiny_config().raw["trainer"],
+                                         "deferred_decode": True}})
+    cfg2 = Config.from_dict({**cfg1.raw,
+                             "trainer": {**cfg1.raw["trainer"],
+                                         "precompute_x": True}})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg1.model)
+    rng = np.random.RandomState(0)
+    B, L, K, H, W = 2, 2, 3, 16, 16
+    batch = {"events": jnp.asarray(rng.randn(B, L, K, H, W, 5).astype(np.float32)),
+             "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+             "depth_events": jnp.asarray(rng.rand(B, L, K, H, W, 1).astype(np.float32)),
+             "depth_image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32))}
+    state0 = ERGB2DepthRecurrent.init_state(cfg1.model, B, H, W)
+    outs = {}
+    for name, cfg in (("deferred", cfg1), ("precompute", cfg2)):
+        loss_fn = make_sequence_loss(cfg, remat=True)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state0, batch)
+        outs[name] = (float(loss), grads)
+    assert abs(outs["deferred"][0] - outs["precompute"][0]) < 1e-6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5, rtol=1e-4),
+        outs["deferred"][1], outs["precompute"][1])
+
+
+def test_precompute_x_unsupported_config_warns_and_falls_back():
+    """precompute_x on a config without state-independent encoders (convlstm
+    blocks) must warn and use the plain path, not crash."""
+    import warnings
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+    from rpg_ramnet_tpu.core.config import Config
+    raw = tiny_config().raw
+    cfg = Config.from_dict({**raw,
+                            "model": {**raw["model"],
+                                      "recurrent_block_type": "convlstm"},
+                            "trainer": {**raw["trainer"],
+                                        "deferred_decode": True,
+                                        "precompute_x": True}})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        loss_fn = make_sequence_loss(cfg, remat=True)
+    assert any("precompute_x" in str(x.message) for x in w)
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.RandomState(0)
+    B, L, K, H, W = 1, 2, 3, 16, 16
+    batch = {"events": jnp.asarray(rng.randn(B, L, K, H, W, 5).astype(np.float32)),
+             "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+             "depth_events": jnp.asarray(rng.rand(B, L, K, H, W, 1).astype(np.float32)),
+             "depth_image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32))}
+    state0 = ERGB2DepthRecurrent.init_state(cfg.model, B, H, W)
+    loss, aux = loss_fn(params, state0, batch)
+    assert np.isfinite(float(loss))
+
+
 def test_dp_mesh_deferred_decode_equals_single_device():
     """The flagship TPU recipe combines DP sharding with deferred decode:
     the snapshot concat/reshape crosses the sharded batch axis, so GSPMD
