@@ -442,6 +442,15 @@ def main():
         except Exception as e:
             details["jax_fps_single_stream_chunked_bf16_error"] = str(e)[:300]
         try:
+            # + GRU x-side precompute (auto-enabled for bf16 inference):
+            # the bf16 single-stream record (PERF.md round-2: 697 maps/s)
+            details["jax_fps_single_stream_chunked_bf16_precompute"] = \
+                bench_chunked_fps(lanes=1, L=16, dtype="bfloat16",
+                                  precompute=True)
+        except Exception as e:
+            details["jax_fps_single_stream_chunked_bf16_precompute_error"] = \
+                str(e)[:300]
+        try:
             details["jax_fps_8lane_throughput"] = bench_jax_fps(
                 lanes=8, n_hi=8, batched_decode=True)
         except Exception as e:  # memory-constrained fallbacks

@@ -405,6 +405,113 @@ def run_batched_streaming(dataset, params, cfg: ModelConfig,
                               item, seq_pos)
 
 
+def run_batched_chunked_streaming(dataset, params, cfg: ModelConfig,
+                                  arch: str = "ERGB2DepthRecurrent",
+                                  n_lanes: int = 8, chunk: int = 2,
+                                  on_prediction=None, decode_keys=None,
+                                  precompute_x: Optional[bool] = None):
+    """Lane-batched AND chunked offline streaming: sequences round-robin
+    over `n_lanes` lanes (run_batched_streaming) while `chunk` packages per
+    lane are scanned in ONE jitted program with a single batched decoder
+    pass over all chunk*n_lanes*(K+1) snapshots (run_chunked_streaming) —
+    the highest-throughput offline mode on v5e (PERF.md lane sweep).
+
+    Sequence boundaries fall mid-chunk, so a per-step per-lane reset mask
+    rides the scan ('reset_t' [L, B] bool zeroes the recurrent state before
+    the flagged package); padded steps past a lane's last item stay reset.
+    Outputs are identical to single-lane streaming per item (within ~1 ulp
+    when precompute_x is on — see _resolve_precompute).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    model = get_model(arch)
+    dk = tuple(decode_keys) if decode_keys else None
+    if _resolve_precompute(cfg, precompute_x, model):
+        fwd = jax.jit(lambda p, s, seq: model.forward_sequence_precomputed(
+            p, cfg, s, seq, decode_keys=dk))
+    else:
+        fwd = jax.jit(lambda p, s, seq: model.forward_sequence_batched_decode(
+            p, cfg, s, seq, decode_keys=dk))
+
+    sizes = [len(d) for d in dataset.datasets]
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    lane_items: List[list] = [[] for _ in range(n_lanes)]
+    for s, (start, size) in enumerate(zip(starts, sizes)):
+        lane = s % n_lanes
+        for i in range(size):
+            lane_items[lane].append((int(start + i), i))
+    max_len = max(len(li) for li in lane_items) if lane_items else 0
+    if max_len == 0:
+        return
+
+    item0, _ = dataset[0]
+    ev_zero = np.zeros_like(item0["events"][0])    # [K, H, W, C]
+    im_zero = np.zeros_like(item0["image"][0])     # [H, W, C]
+    use_times = cfg.use_phased_arch and "times_events" in item0
+    h, w = item0["image"].shape[1], item0["image"].shape[2]
+
+    def load_chunk(t0):
+        """[chunk, n_lanes, ...] time-leading channel-first buffers + the
+        per-step reset mask and (step, lane) -> (item, gidx, seq_pos) map."""
+        ev = np.empty((chunk, n_lanes) + ev_zero.shape, ev_zero.dtype)
+        im = np.empty((chunk, n_lanes) + im_zero.shape, im_zero.dtype)
+        reset = np.zeros((chunk, n_lanes), bool)
+        tev = np.zeros((chunk, n_lanes) + np.shape(
+            np.atleast_1d(item0["times_events"][0])), np.float32) \
+            if use_times else None
+        tim = np.zeros((chunk, n_lanes), np.float32) if use_times else None
+        metas = {}
+        for j in range(chunk):
+            t = t0 + j
+            for lane in range(n_lanes):
+                if t < len(lane_items[lane]):
+                    gidx, seq_pos = lane_items[lane][t]
+                    item, _ = dataset[gidx]
+                    metas[(j, lane)] = (item, gidx, seq_pos)
+                    ev[j, lane] = item["events"][0]
+                    im[j, lane] = item["image"][0]
+                    reset[j, lane] = seq_pos == 0
+                    if use_times:
+                        tev[j, lane] = np.atleast_1d(item["times_events"][0])
+                        tim[j, lane] = np.float32(
+                            np.asarray(item["times_image"][0]).ravel()[0])
+                else:
+                    ev[j, lane] = ev_zero
+                    im[j, lane] = im_zero
+                    reset[j, lane] = True
+        out = {
+            # [L, B, K, C, H, W] / [L, B, C, H, W] — the TPU layout rules
+            # (see run_chunked_streaming.load_chunk)
+            "events_tcf": np.ascontiguousarray(np.moveaxis(ev, -1, 3)),
+            "image_tcf": np.ascontiguousarray(np.moveaxis(im, -1, 2)),
+            "reset_t": reset,
+        }
+        if use_times:
+            out["times_events_t"] = tev
+            out["times_image_t"] = tim
+        return out, metas
+
+    state = model.init_state(cfg, n_lanes, h, w)
+    pool = ThreadPoolExecutor(1)
+    try:
+        t0s = list(range(0, max_len, chunk))
+        fut = pool.submit(load_chunk, t0s[0])
+        for ci, t0 in enumerate(t0s):
+            arrs, metas = fut.result()
+            if ci + 1 < len(t0s):
+                fut = pool.submit(load_chunk, t0s[ci + 1])
+            seq = {k: jnp.asarray(v) for k, v in arrs.items()}
+            state, preds = fwd(params, state, seq)
+            if on_prediction is not None:
+                preds_np = {k: np.asarray(v) for k, v in preds.items()}
+                for (j, lane), (item, gidx, seq_pos) in metas.items():
+                    on_prediction(gidx,
+                                  {k: v[j, lane] for k, v in preds_np.items()},
+                                  item, seq_pos)
+    finally:
+        pool.shutdown()
+
+
 def optimal_scale(prediction: np.ndarray, target: np.ndarray,
                   reg_factor: float, clip_distance: float) -> float:
     """Metric-space optimal scale accumulation (test.py:365-378)."""

@@ -40,7 +40,8 @@ def prediction_keys(cfg: ModelConfig) -> Tuple[str, ...]:
 
 
 _TL_RENAME = {"events_tcf": "events_cf", "image_tcf": "image_cf",
-              "times_events_t": "times_events", "times_image_t": "times_image"}
+              "times_events_t": "times_events", "times_image_t": "times_image",
+              "reset_t": "reset"}
 
 
 def _time_leading_seq(seq):
@@ -48,14 +49,28 @@ def _time_leading_seq(seq):
     keys arrive already time-leading from pack_train_batch / chunked loaders
     (no in-jit transpose: an XLA copy of the whole sequence into a
     lane-padded layout would cost up to 25x HBM, see PERF.md); plain keys
-    are transposed here."""
+    are transposed here.  'reset'/'reset_t' [B, L]/[L, B] bool zeroes the
+    recurrent state before the flagged package (lane-batched chunked
+    streaming: sequence boundaries fall mid-chunk)."""
     seq_t = {}
     for k, v in seq.items():
         if k in _TL_RENAME:
             seq_t[_TL_RENAME[k]] = v
-        elif k in ("events", "image", "times_events", "times_image"):
+        elif k in ("events", "image", "times_events", "times_image", "reset"):
             seq_t[k] = jnp.moveaxis(v, 1, 0)
     return seq_t
+
+
+def _apply_reset(reset, tree):
+    """Zero the per-lane leaves of a state pytree where reset [B] is set."""
+    if reset is None:
+        return tree
+
+    def mask_leaf(leaf):
+        m = reset.reshape((-1,) + (1,) * (leaf.ndim - 1))
+        return jnp.where(m, jnp.zeros_like(leaf), leaf)
+
+    return jax.tree_util.tree_map(mask_leaf, tree)
 
 
 def _package_snapshot_step(params, cfg: ModelConfig, state, pkg, sel_keys):
@@ -69,6 +84,7 @@ def _package_snapshot_step(params, cfg: ModelConfig, state, pkg, sel_keys):
     event_modality = "image" if cfg.is_baseline else "events"
     times_ev = pkg.get("times_events") if cfg.use_phased_arch else None
     times_im = pkg.get("times_image") if cfg.use_phased_arch else None
+    state = _apply_reset(pkg.get("reset"), state)
     snaps = []
     for k in range(loop):
         if "events_cf" in pkg:
@@ -121,7 +137,7 @@ def _package_snapshot_step_pre(params, cfg: ModelConfig, state, pkg,
         params, cfg,
         statenet.encoder_features(params, cfg, img, "image", im_layout),
         "image")
-    supers = tuple(state.super_states)
+    supers = _apply_reset(pkg.get("reset"), tuple(state.super_states))
     snaps = []
     for k in range(loop):
         supers = statenet.combine_hside(
@@ -181,6 +197,7 @@ class ERGB2DepthRecurrent:
         """
         preds: Dict[str, Any] = {}
         loop = event_loop_range(cfg)
+        state = _apply_reset(pkg.get("reset"), state)
         # baselines route events through the image encoder (model.py:181-189)
         event_modality = "image" if cfg.is_baseline else "events"
         times_ev = pkg.get("times_events") if cfg.use_phased_arch else None
@@ -375,8 +392,11 @@ class ERGB2DepthRecurrent:
                                                "image", im_layout),
                      "image")]
 
+        reset_t = seq_t.get("reset")
+
         def step(supers, gx):
-            gev, gim = gx
+            gev, gim, reset = gx
+            supers = _apply_reset(reset, supers)
             snaps = []
             for k in range(loop):
                 supers = statenet.combine_hside(
@@ -391,7 +411,10 @@ class ERGB2DepthRecurrent:
             return supers, stacked
 
         final_supers, snapshots = jax.lax.scan(
-            step, tuple(state.super_states), (tuple(gx_ev), tuple(gx_im)))
+            step, tuple(state.super_states),
+            (tuple(gx_ev), tuple(gx_im),
+             reset_t if reset_t is not None
+             else jnp.zeros((l, b), jnp.bool_)))
         preds = _decode_snapshots(params, cfg, snapshots, sel_keys, l, b,
                                   squeeze_preds)
         return state._replace(super_states=final_supers), preds

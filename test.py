@@ -148,7 +148,18 @@ def main():
             scales[idx] = optimal_scale(img[..., 0], gt[..., 0],
                                         reg_factor, clip_distance)
 
-    if args.lanes > 1:
+    if args.lanes > 1 and args.scan_chunk > 0:
+        # lanes x chunk: round-robin sequences over lanes AND scan
+        # scan_chunk packages per dispatch with one batched decoder pass
+        # (per-step reset masks handle mid-chunk sequence boundaries) —
+        # the highest-throughput offline mode
+        from rpg_ramnet_tpu.eval.inference import run_batched_chunked_streaming
+        run_batched_chunked_streaming(dataset, params, cfg.model, cfg.arch,
+                                      n_lanes=args.lanes,
+                                      chunk=args.scan_chunk,
+                                      on_prediction=handle,
+                                      decode_keys=decode_keys)
+    elif args.lanes > 1:
         # lane-batched multi-sequence streaming: identical per-sequence
         # outputs at n_lanes x the throughput
         from rpg_ramnet_tpu.eval.inference import run_batched_streaming

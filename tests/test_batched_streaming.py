@@ -406,3 +406,46 @@ def test_sequence_precomputed_rejects_unsupported_config():
     with pytest.raises(ValueError, match="precompute"):
         ERGB2DepthRecurrent.forward_sequence_precomputed(
             params, mcfg, state0, {})
+
+
+def test_batched_chunked_streaming_equals_single_lane(test_split):
+    """run_batched_chunked_streaming (lanes x chunk, per-step reset masks in
+    the scan for mid-chunk sequence boundaries) == single-lane streaming,
+    with and without forced x-side precompute."""
+    from rpg_ramnet_tpu.eval.inference import run_batched_chunked_streaming
+    cfg = tiny_config(every_x_rgb_frame=3)
+    mcfg = cfg.model
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    dataset = concatenate_subfolders(
+        test_split, "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+        "depth/data", "rgb/data", sequence_length=1, step_size=1,
+        clip_distance=80.0, every_x_rgb_frame=3, reg_factor=3.70378,
+        transform=CenterCrop(32))
+
+    single = {}
+    engine = StreamingInference(params, mcfg)
+    prev_d = -1
+    for idx in range(len(dataset)):
+        item, d = dataset[idx]
+        if d != prev_d:
+            engine.reset(1, 32, 32)
+            prev_d = d
+        preds = engine.step({"events": item["events"][0],
+                             "image": item["image"][0]})
+        single[idx] = preds["image"]
+
+    for pre in (False, True):
+        got, positions = {}, {}
+        run_batched_chunked_streaming(
+            dataset, params, mcfg, n_lanes=2, chunk=4, precompute_x=pre,
+            on_prediction=lambda gidx, preds, item, seq_pos: (
+                got.__setitem__(gidx, preds["image"]),
+                positions.__setitem__(gidx, seq_pos)))
+        assert set(got) == set(single), f"pre={pre}"
+        for idx in single:
+            np.testing.assert_allclose(got[idx], single[idx],
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"idx={idx} pre={pre}")
+        sizes = [len(d) for d in dataset.datasets]
+        expect = [p for sz in sizes for p in range(sz)]
+        assert [positions[i] for i in range(len(dataset))] == expect
