@@ -293,6 +293,20 @@ def test_full_pipeline_cli(workspace):
         b = np.load(join(out_dir3, "npy", "image", f))
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    # lanes x chunk combined mode (per-step reset masks in the scan)
+    out_dir4 = str(ws / "test_out_lanes_chunk")
+    run([sys.executable, "test.py",
+         "--path_to_model", join(run_dir, "model_best"),
+         "--config", join(run_dir, "config.json"),
+         "--output_path", out_dir4,
+         "--data_folder", "test",
+         "--crop", "32,32", "--lanes", "2", "--scan_chunk", "2"],
+        env_extra=env)
+    for f in sorted(os.listdir(npy_dir)):
+        a = np.load(join(npy_dir, f))
+        b = np.load(join(out_dir4, "npy", "image", f))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
     r = run([sys.executable, "evaluation.py",
              "--target_dataset", gt_dir,
              "--predictions_dataset", npy_dir,
