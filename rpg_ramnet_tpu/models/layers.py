@@ -521,6 +521,32 @@ def conv_gru_apply_hside(p, gx, prev_state, padding=1):
     return prev_state * (1.0 - update) + out * update
 
 
+def conv_lstm_x_gates(p, x, padding=1):
+    """Precomputable x-side of the fused 4-gate ConvLSTM conv (the convlstm
+    analogue of conv_gru_x_gates; biases folded in here)."""
+    w = p["Gates"]["weight"]
+    hidden = w.shape[3] // 4
+    cx = w.shape[2] - hidden
+    return conv2d(x, w[:, :, :cx], p["Gates"]["bias"], 1, padding)
+
+
+def conv_lstm_apply_hside(p, gx, state, padding=1):
+    """Sequential h-side completion of conv_lstm_apply given precomputed
+    x-side gate contributions gx = conv_lstm_x_gates(p, x).  Matches
+    conv_lstm_apply up to float summation order (~1 ulp)."""
+    prev_hidden, prev_cell = state
+    hidden = prev_hidden.shape[-1]
+    gates = conv2d(prev_hidden, p["Gates"]["weight"][:, :, -hidden:], None,
+                   1, padding) + gx
+    in_g, rem_g, out_g, cell_g = jnp.split(gates, 4, axis=-1)
+    in_g = jax.nn.sigmoid(in_g)
+    rem_g = jax.nn.sigmoid(rem_g)
+    out_g = jax.nn.sigmoid(out_g)
+    cell_g = jnp.tanh(cell_g)
+    cell = rem_g * prev_cell + in_g * cell_g
+    return out_g * jnp.tanh(cell), cell
+
+
 # RecurrentConvLayer (submodules.py:100-120): bare recurrent block (its conv
 # is commented out in the reference), used for per-scale state combination.
 

@@ -143,10 +143,10 @@ def _package_snapshot_step_pre(params, cfg: ModelConfig, state, pkg,
         supers = statenet.combine_hside(
             params, cfg, supers, [g[:, k] for g in gx_ev], "events")
         if f"events{k}" in sel_keys:
-            snaps.append(supers)
+            snaps.append(statenet.supers_decoder_view(cfg, supers))
     supers = statenet.combine_hside(params, cfg, supers, gx_im, "image")
     if "image" in sel_keys:
-        snaps.append(supers)
+        snaps.append(statenet.supers_decoder_view(cfg, supers))
     stacked = jax.tree_util.tree_map(
         lambda *leaves: jnp.concatenate(leaves, axis=0), *snaps)
     return state._replace(super_states=supers), stacked
@@ -309,7 +309,7 @@ class ERGB2DepthRecurrent:
         if package_precompute and not statenet.supports_x_precompute(cfg):
             raise ValueError(
                 "package_precompute requires recurrent_block_type='conv' + "
-                "state_combination='convgru' (non-baseline)")
+                "convgru/convlstm state combination (non-baseline)")
         step_fn = (_package_snapshot_step_pre if package_precompute
                    else _package_snapshot_step)
 
@@ -357,7 +357,8 @@ class ERGB2DepthRecurrent:
         if not statenet.supports_x_precompute(cfg):
             raise ValueError(
                 "forward_sequence_precomputed requires recurrent_block_type="
-                "'conv' + state_combination='convgru' (non-baseline); got "
+                "'conv' + convgru/convlstm state combination (non-baseline); "
+                "got "
                 f"{cfg.recurrent_block_type}/{cfg.state_combination}")
         sel_keys = [k for k in prediction_keys(cfg)
                     if decode_keys is None or k in decode_keys]
@@ -402,10 +403,10 @@ class ERGB2DepthRecurrent:
                 supers = statenet.combine_hside(
                     params, cfg, supers, [g[:, k] for g in gev], "events")
                 if f"events{k}" in sel_keys:
-                    snaps.append(supers)
+                    snaps.append(statenet.supers_decoder_view(cfg, supers))
             supers = statenet.combine_hside(params, cfg, supers, gim, "image")
             if "image" in sel_keys:
-                snaps.append(supers)
+                snaps.append(statenet.supers_decoder_view(cfg, supers))
             stacked = jax.tree_util.tree_map(
                 lambda *leaves: jnp.concatenate(leaves, axis=0), *snaps)
             return supers, stacked

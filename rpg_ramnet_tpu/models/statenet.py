@@ -278,12 +278,13 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
 
 def supports_x_precompute(cfg: ModelConfig) -> bool:
     """True when the encoder chain is state-independent and the state
-    combination is ConvGRU — the configs whose per-step x-side work
-    (head + strided encoders + GRU x-side gate convs) can be batched over
-    all steps of a sequence outside the scan.  This is the flagship
-    EventScape recipe (recurrent_block_type='conv', convgru)."""
+    combination is ConvGRU/ConvLSTM — the configs whose per-step x-side
+    work (head + strided encoders + recurrent x-side gate convs) can be
+    batched over all steps of a sequence outside the scan.  The flagship
+    EventScape recipe (recurrent_block_type='conv', convgru) and its
+    convlstm state-combination variant."""
     return (not cfg.is_baseline and cfg.recurrent_block_type == "conv"
-            and cfg.state_combination == "convgru")
+            and cfg.state_combination in ("convgru", "convlstm"))
 
 
 def encoder_features(params, cfg: ModelConfig, x, modality: str,
@@ -309,22 +310,32 @@ def encoder_features(params, cfg: ModelConfig, x, modality: str,
 
 def gru_x_gates(params, cfg: ModelConfig, xs: Sequence[Any],
                 modality: str) -> List[Any]:
-    """Per-scale precomputed x-side GRU gate contributions (layers
-    .conv_gru_x_gates) for the given encoder_features."""
+    """Per-scale precomputed x-side recurrent gate contributions (layers
+    .conv_gru_x_gates / .conv_lstm_x_gates) for the given
+    encoder_features."""
     combs = params["state_combination_events" if modality == "events"
                    else "state_combination_images"]
-    return [L.conv_gru_x_gates(c["recurrent_block"], x)
-            for c, x in zip(combs, xs)]
+    fn = (L.conv_lstm_x_gates if cfg.state_combination == "convlstm"
+          else L.conv_gru_x_gates)
+    return [fn(c["recurrent_block"], x) for c, x in zip(combs, xs)]
 
 
 def combine_hside(params, cfg: ModelConfig, supers: Tuple, gx_scales,
                   modality: str) -> Tuple:
-    """One modality step of per-scale ConvGRU state combination from
-    precomputed x-side gates (the sequential h-side only)."""
+    """One modality step of per-scale recurrent state combination from
+    precomputed x-side gates (the sequential h-side only).  supers are
+    per-scale arrays for convgru, (hidden, cell) tuples for convlstm."""
     combs = params["state_combination_events" if modality == "events"
                    else "state_combination_images"]
-    return tuple(L.conv_gru_apply_hside(c["recurrent_block"], g, s)
+    fn = (L.conv_lstm_apply_hside if cfg.state_combination == "convlstm"
+          else L.conv_gru_apply_hside)
+    return tuple(fn(c["recurrent_block"], g, s)
                  for c, g, s in zip(combs, gx_scales, supers))
+
+
+def supers_decoder_view(cfg: ModelConfig, supers: Tuple) -> Tuple:
+    """decoder_view on a bare supers tuple (hidden parts only)."""
+    return tuple(_super_hidden(cfg, s) for s in supers)
 
 
 def decoder_view(cfg: ModelConfig, state: StateNetState) -> Tuple:

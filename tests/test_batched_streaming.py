@@ -449,3 +449,38 @@ def test_batched_chunked_streaming_equals_single_lane(test_split):
         sizes = [len(d) for d in dataset.datasets]
         expect = [p for sz in sizes for p in range(sz)]
         assert [positions[i] for i in range(len(dataset))] == expect
+
+
+def test_sequence_precomputed_convlstm_combination(test_split):
+    """x-side precompute for the convlstm state-combination variant: the
+    fused 4-gate conv splits the same way; supers are (hidden, cell) tuples
+    and snapshots must carry hidden parts only."""
+    cfg = tiny_config(state_combination="convlstm", every_x_rgb_frame=3)
+    mcfg = cfg.model
+    assert mcfg.state_combination == "convlstm"
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(7), mcfg)
+    rng = np.random.default_rng(2)
+    B, L, K, H, W = 2, 3, 3, 32, 32
+    seq = {"events": rng.standard_normal(
+               (B, L, K, H, W, mcfg.num_bins_events)).astype(np.float32),
+           "image": rng.standard_normal(
+               (B, L, H, W, mcfg.num_bins_rgb)).astype(np.float32)}
+    state0 = ERGB2DepthRecurrent.init_state(mcfg, B, H, W)
+    s_ref, p_ref = ERGB2DepthRecurrent.forward_sequence(
+        params, mcfg, state0, seq)
+    s_pre, p_pre = ERGB2DepthRecurrent.forward_sequence_precomputed(
+        params, mcfg, state0, seq)
+    assert set(p_ref) == set(p_pre)
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_pre[k]), np.asarray(p_ref[k]),
+                                   atol=1e-5, rtol=1e-5, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), s_ref, s_pre)
+
+    # package-scoped variant too (training path)
+    s_pkg, p_pkg = ERGB2DepthRecurrent.forward_sequence_batched_decode(
+        params, mcfg, state0, seq, package_precompute=True)
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_pkg[k]), np.asarray(p_ref[k]),
+                                   atol=1e-5, rtol=1e-5, err_msg=k)

@@ -75,3 +75,39 @@ def test_sharded_prefetch():
     assert len(out) == 5
     for i, b in enumerate(out):
         np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+
+def test_dp_mesh_precomputed_inference_equals_single_device():
+    """forward_sequence_precomputed under a DP mesh: the (l*b*k)-flattened
+    encoder/gx batch and the snapshot concat cross the sharded batch axis,
+    so GSPMD must reproduce single-device outputs (lanes sharded on
+    'data')."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.core.config import ModelConfig
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+    from rpg_ramnet_tpu.parallel import replicate, shard_batch
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "recurrent_block_type": "conv",
+        "state_combination": "convgru", "num_encoders": 2,
+        "base_num_channels": 4, "every_x_rgb_frame": 2, "baseline": False,
+        "skip_type": "sum", "norm": "none"})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(3), mcfg)
+    rng = np.random.RandomState(1)
+    B, L, K, H, W = 8, 3, 2, 32, 32
+    seq = {"events": rng.randn(B, L, K, H, W, 5).astype(np.float32),
+           "image": rng.rand(B, L, H, W, 1).astype(np.float32)}
+    state = ERGB2DepthRecurrent.init_state(mcfg, B, H, W)
+    fwd = jax.jit(lambda p, s, q: ERGB2DepthRecurrent.forward_sequence_precomputed(
+        p, mcfg, s, q))
+    _, ref = fwd(params, state, {k: jnp.asarray(v) for k, v in seq.items()})
+
+    mesh = make_mesh()
+    _, out = fwd(replicate(params, mesh),
+                 jax.tree_util.tree_map(
+                     lambda v: jax.tree_util.tree_leaves(
+                         shard_batch({"x": np.asarray(v)}, mesh))[0], state),
+                 shard_batch(seq, mesh))
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-5, rtol=1e-5, err_msg=k)
