@@ -149,7 +149,11 @@ class SequenceScanInference:
     (model.forward_sequence_batched_decode) — bit-identical outputs, much
     better MXU fill for the narrow-channel decoder (~57% of package time).
     This is the fast path for offline processing of recorded sequences
-    (test.py semantics), where per-package latency doesn't matter."""
+    (test.py semantics), where per-package latency doesn't matter.
+    NOTE: on bf16 configs precompute_x auto-enables the x-side-hoisted
+    forward (_resolve_precompute) — outputs then match per-package
+    streaming within ~1 ulp, not bitwise; pass precompute_x=False for
+    bit-exactness."""
 
     def __init__(self, params, cfg: ModelConfig, arch: str = "ERGB2DepthRecurrent",
                  chunk: int = 32, batched_decode: bool = False,
@@ -336,6 +340,19 @@ class BatchedStreamingInference:
         return preds
 
 
+def _round_robin_lanes(dataset, n_lanes: int):
+    """Distribute a ConcatSequenceDataset's sequences round-robin over
+    lanes: lane_items[lane] = [(global_idx, seq_pos), ...] back-to-back."""
+    sizes = [len(d) for d in dataset.datasets]
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    lane_items: List[list] = [[] for _ in range(n_lanes)]
+    for s, (start, size) in enumerate(zip(starts, sizes)):
+        lane = s % n_lanes
+        for i in range(size):
+            lane_items[lane].append((int(start + i), i))
+    return lane_items, starts, sizes
+
+
 def run_batched_streaming(dataset, params, cfg: ModelConfig,
                           arch: str = "ERGB2DepthRecurrent",
                           n_lanes: int = 4, on_prediction=None):
@@ -350,14 +367,7 @@ def run_batched_streaming(dataset, params, cfg: ModelConfig,
     item in global dataset order is NOT guaranteed — callbacks receive the
     dataset-global index so writers can name files correctly.
     """
-    sizes = [len(d) for d in dataset.datasets]
-    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-    # round-robin sequences over lanes
-    lane_items: list = [[] for _ in range(n_lanes)]
-    for s, (start, size) in enumerate(zip(starts, sizes)):
-        lane = s % n_lanes
-        for i in range(size):
-            lane_items[lane].append((int(start + i), i))
+    lane_items, starts, sizes = _round_robin_lanes(dataset, n_lanes)
     max_len = max(len(li) for li in lane_items) if lane_items else 0
 
     item0, _ = dataset[0]
@@ -429,17 +439,16 @@ def run_batched_chunked_streaming(dataset, params, cfg: ModelConfig,
     if _resolve_precompute(cfg, precompute_x, model):
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence_precomputed(
             p, cfg, s, seq, decode_keys=dk))
-    else:
+    elif hasattr(model, "forward_sequence_batched_decode"):
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence_batched_decode(
             p, cfg, s, seq, decode_keys=dk))
+    else:
+        # stateless archs (ERGB2Depth): plain forward_sequence; resets are
+        # irrelevant without recurrent state
+        fwd = jax.jit(lambda p, s, seq: model.forward_sequence(
+            p, cfg, s, seq, decode_keys=dk))
 
-    sizes = [len(d) for d in dataset.datasets]
-    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-    lane_items: List[list] = [[] for _ in range(n_lanes)]
-    for s, (start, size) in enumerate(zip(starts, sizes)):
-        lane = s % n_lanes
-        for i in range(size):
-            lane_items[lane].append((int(start + i), i))
+    lane_items, starts, sizes = _round_robin_lanes(dataset, n_lanes)
     max_len = max(len(li) for li in lane_items) if lane_items else 0
     if max_len == 0:
         return

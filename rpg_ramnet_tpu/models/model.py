@@ -138,18 +138,30 @@ def _package_snapshot_step_pre(params, cfg: ModelConfig, state, pkg,
         statenet.encoder_features(params, cfg, img, "image", im_layout),
         "image")
     supers = _apply_reset(pkg.get("reset"), tuple(state.super_states))
+    supers, stacked = _hside_package(params, cfg, supers, gx_ev, gx_im,
+                                     sel_keys, loop)
+    return state._replace(super_states=supers), stacked
+
+
+def _hside_package(params, cfg: ModelConfig, supers, gev, gim, sel_keys,
+                   loop):
+    """The sequential h-side completions of one package from precomputed
+    x-side gates (gev: per-scale [B, loop, h, w, gC]; gim: per-scale
+    [B, h, w, gC]), returning new supers and the batch-concatenated
+    hidden-only snapshots for sel_keys — shared by
+    _package_snapshot_step_pre and forward_sequence_precomputed."""
     snaps = []
     for k in range(loop):
         supers = statenet.combine_hside(
-            params, cfg, supers, [g[:, k] for g in gx_ev], "events")
+            params, cfg, supers, [g[:, k] for g in gev], "events")
         if f"events{k}" in sel_keys:
             snaps.append(statenet.supers_decoder_view(cfg, supers))
-    supers = statenet.combine_hside(params, cfg, supers, gx_im, "image")
+    supers = statenet.combine_hside(params, cfg, supers, gim, "image")
     if "image" in sel_keys:
         snaps.append(statenet.supers_decoder_view(cfg, supers))
     stacked = jax.tree_util.tree_map(
         lambda *leaves: jnp.concatenate(leaves, axis=0), *snaps)
-    return state._replace(super_states=supers), stacked
+    return supers, stacked
 
 
 def _decode_snapshots(params, cfg: ModelConfig, snapshots, sel_keys, l, b,
@@ -393,29 +405,22 @@ class ERGB2DepthRecurrent:
                                                "image", im_layout),
                      "image")]
 
+        # the reset mask joins the scan inputs only when a caller supplies
+        # one (lane-batched chunked streaming) — an all-False mask would
+        # cost a traced select over every state leaf per step
         reset_t = seq_t.get("reset")
 
         def step(supers, gx):
-            gev, gim, reset = gx
+            reset = gx[2] if len(gx) == 3 else None
             supers = _apply_reset(reset, supers)
-            snaps = []
-            for k in range(loop):
-                supers = statenet.combine_hside(
-                    params, cfg, supers, [g[:, k] for g in gev], "events")
-                if f"events{k}" in sel_keys:
-                    snaps.append(statenet.supers_decoder_view(cfg, supers))
-            supers = statenet.combine_hside(params, cfg, supers, gim, "image")
-            if "image" in sel_keys:
-                snaps.append(statenet.supers_decoder_view(cfg, supers))
-            stacked = jax.tree_util.tree_map(
-                lambda *leaves: jnp.concatenate(leaves, axis=0), *snaps)
-            return supers, stacked
+            return _hside_package(params, cfg, supers, gx[0], gx[1],
+                                  sel_keys, loop)
 
+        xs = (tuple(gx_ev), tuple(gx_im))
+        if reset_t is not None:
+            xs = xs + (reset_t,)
         final_supers, snapshots = jax.lax.scan(
-            step, tuple(state.super_states),
-            (tuple(gx_ev), tuple(gx_im),
-             reset_t if reset_t is not None
-             else jnp.zeros((l, b), jnp.bool_)))
+            step, tuple(state.super_states), xs)
         preds = _decode_snapshots(params, cfg, snapshots, sel_keys, l, b,
                                   squeeze_preds)
         return state._replace(super_states=final_supers), preds

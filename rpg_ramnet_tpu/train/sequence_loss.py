@@ -138,13 +138,21 @@ def make_sequence_loss(cfg: Config, remat: bool = False,
             "statistics); using the in-scan decode path",
             stacklevel=2)
     from ..models import statenet
+    # precompute_x rides the deferred-decode path, so it needs the
+    # EFFECTIVE deferral (deferred_decode AND remat_chunk==1 AND not
+    # BN/IN training), plus a state-independent-encoder config
+    deferred_effective = (cfg.trainer.deferred_decode and not train_norm
+                          and max(int(getattr(cfg.trainer, "remat_chunk", 1)),
+                                  1) == 1)
     pre_x = bool(getattr(cfg.trainer, "precompute_x", False))
-    if pre_x and not (cfg.trainer.deferred_decode
+    if pre_x and not (deferred_effective
                       and statenet.supports_x_precompute(mcfg)):
         import warnings
         warnings.warn(
-            "trainer.precompute_x requires deferred_decode AND the "
-            "recurrent_block_type='conv' + convgru config; ignoring it",
+            "trainer.precompute_x requires an effective deferred_decode "
+            "(remat_chunk==1, no BN/IN training mode) AND "
+            "recurrent_block_type='conv' with convgru/convlstm state "
+            "combination; ignoring it",
             stacklevel=2)
         pre_x = False
 
