@@ -42,6 +42,11 @@ class ModelConfig:
     # --- TPU extras (no reference counterpart) ---
     compute_dtype: str = "float32"          # 'float32' | 'bfloat16'
     fast_upsample: bool = False             # subpixel decoder (exact; see PERF.md)
+    # fused Pallas h-side ConvGRU cell on the precomputed inference path
+    # (ops/gru_hside.py): 'auto' = on for supported shapes on TPU,
+    # 'on'/'off' force.  f32-accumulated gates (~bf16-eps from the XLA
+    # path); single-chip only — set 'off' under a sharded mesh.
+    fused_gru: str = "auto"
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "ModelConfig":
@@ -70,6 +75,7 @@ class ModelConfig:
             use_phased_arch=bool(d.get("use_phased_arch", False)),
             compute_dtype=str(d.get("compute_dtype", "float32")),
             fast_upsample=bool(d.get("fast_upsample", False)),
+            fused_gru=str(d.get("fused_gru", "auto")),
         )
 
     @property

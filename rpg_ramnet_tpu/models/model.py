@@ -144,7 +144,7 @@ def _package_snapshot_step_pre(params, cfg: ModelConfig, state, pkg,
 
 
 def _hside_package(params, cfg: ModelConfig, supers, gev, gim, sel_keys,
-                   loop):
+                   loop, allow_fused=False):
     """The sequential h-side completions of one package from precomputed
     x-side gates (gev: per-scale [B, loop, h, w, gC]; gim: per-scale
     [B, h, w, gC]), returning new supers and the batch-concatenated
@@ -153,10 +153,12 @@ def _hside_package(params, cfg: ModelConfig, supers, gev, gim, sel_keys,
     snaps = []
     for k in range(loop):
         supers = statenet.combine_hside(
-            params, cfg, supers, [g[:, k] for g in gev], "events")
+            params, cfg, supers, [g[:, k] for g in gev], "events",
+            allow_fused=allow_fused)
         if f"events{k}" in sel_keys:
             snaps.append(statenet.supers_decoder_view(cfg, supers))
-    supers = statenet.combine_hside(params, cfg, supers, gim, "image")
+    supers = statenet.combine_hside(params, cfg, supers, gim, "image",
+                                    allow_fused=allow_fused)
     if "image" in sel_keys:
         snaps.append(statenet.supers_decoder_view(cfg, supers))
     stacked = jax.tree_util.tree_map(
@@ -413,8 +415,10 @@ class ERGB2DepthRecurrent:
         def step(supers, gx):
             reset = gx[2] if len(gx) == 3 else None
             supers = _apply_reset(reset, supers)
+            # inference-only path: the fused Pallas GRU cell is allowed
+            # (no VJP; training uses _package_snapshot_step_pre)
             return _hside_package(params, cfg, supers, gx[0], gx[1],
-                                  sel_keys, loop)
+                                  sel_keys, loop, allow_fused=True)
 
         xs = (tuple(gx_ev), tuple(gx_im))
         if reset_t is not None:

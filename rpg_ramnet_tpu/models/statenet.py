@@ -320,15 +320,41 @@ def gru_x_gates(params, cfg: ModelConfig, xs: Sequence[Any],
     return [fn(c["recurrent_block"], x) for c, x in zip(combs, xs)]
 
 
+def _use_fused_gru(cfg: ModelConfig, s) -> bool:
+    if cfg.state_combination != "convgru":
+        return False
+    mode = getattr(cfg, "fused_gru", "auto")
+    if mode == "off":
+        return False
+    from ..ops import gru_hside
+    if not gru_hside.supports(s):
+        return False
+    return mode == "on" or jax.default_backend() == "tpu"
+
+
 def combine_hside(params, cfg: ModelConfig, supers: Tuple, gx_scales,
-                  modality: str) -> Tuple:
+                  modality: str, allow_fused: bool = False) -> Tuple:
     """One modality step of per-scale recurrent state combination from
     precomputed x-side gates (the sequential h-side only).  supers are
-    per-scale arrays for convgru, (hidden, cell) tuples for convlstm."""
+    per-scale arrays for convgru, (hidden, cell) tuples for convlstm.
+
+    allow_fused: permit the Pallas fused GRU cell (cfg.fused_gru policy;
+    ops/gru_hside.py — 2.1x XLA at the flagship scale-0).  Only the
+    inference-only precomputed path sets this: the kernel defines no VJP,
+    so gradient consumers (trainer.precompute_x) must not."""
     combs = params["state_combination_events" if modality == "events"
                    else "state_combination_images"]
-    fn = (L.conv_lstm_apply_hside if cfg.state_combination == "convlstm"
-          else L.conv_gru_apply_hside)
+    if cfg.state_combination == "convlstm":
+        fn = L.conv_lstm_apply_hside
+    elif allow_fused:
+        from ..ops.gru_hside import conv_gru_hside_fused
+
+        def fn(p, g, s):
+            if _use_fused_gru(cfg, s):
+                return conv_gru_hside_fused(p, g, s)
+            return L.conv_gru_apply_hside(p, g, s)
+    else:
+        fn = L.conv_gru_apply_hside
     return tuple(fn(c["recurrent_block"], g, s)
                  for c, g, s in zip(combs, gx_scales, supers))
 

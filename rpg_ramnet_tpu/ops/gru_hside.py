@@ -1,0 +1,166 @@
+"""Fused ConvGRU h-side cell as a Pallas TPU kernel.
+
+The sequential critical path of the precomputed streaming/record program is
+the per-scale h-side GRU completion (layers.conv_gru_apply_hside): two 3x3
+convs on h / r*h plus gates.  Under XLA each cell runs 6-9x off the HBM
+roofline (exp/hside_microbench.py: 212/80/59 us vs 26/13/6 at the flagship
+scales) — the while-loop body pays operand relayouts and unfused
+intermediate round-trips per step.  This kernel computes the whole cell in
+ONE fused pass over H-tiles:
+
+    ur = sigmoid(conv3x3(h, wh_ur) + gx[..., :2C])
+    z, r = ur[..., :C], ur[..., C:]
+    out = tanh(conv3x3(r * h, wh_o) + gx[..., 2C:])
+    h'  = h * (1 - z) + out * z
+
+Convs are 9 shifted [rows*W, C] @ [C, gC] MXU dots accumulated in f32.
+Halos: the grid tiles H; each tile reads its neighbor blocks (prev/cur/next
+BlockSpecs on the same array — 1 extra h read) because `r` needs a 1-row
+halo, hence `h` a 2-row halo.  Rows outside [0, H) are masked to zero,
+matching the torch zero-padding semantics exactly; a(-1) = r(-1)*h(-1) = 0
+regardless of the garbage r halo at the image border because h is masked.
+
+Capability reference: RAM_Net/model/submodules.py:414-454 (ConvGRU);
+the x/h split itself is layers.conv_gru_x_gates / conv_gru_apply_hside.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _conv9(src, w3, rows_out, C):
+    """3x3 'same' conv as 3 full-width MXU dots.  src [R, W, C] carries a
+    1-row halo around the rows_out output rows.  The 3 row-taps fold into
+    the contraction dim (channel-concat of row-shifted copies -> K=3C, a
+    much better MXU fill than per-tap K=C); the 3 column-taps are static
+    jnp.roll on the sublane dim with wrapped edge columns masked to zero —
+    Mosaic rejects pad+unaligned-slice ('offset mismatch on non-concat
+    dimension'), but aligned full-width rolls lower fine.
+    w3: [3, 3C, C_out], w3[dx] = concat over dy of W[dy, dx]."""
+    W = src.shape[1]
+    cat = jnp.concatenate(
+        [src[0:rows_out], src[1:rows_out + 1], src[2:rows_out + 2]],
+        axis=-1)                                   # [rows_out, W, 3C]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+    acc = jnp.dot(cat.reshape(-1, 3 * C), w3[1],
+                  preferred_element_type=jnp.float32)
+    # out[x] += in[x-1] W[:,0]: roll right, zero the wrapped col 0
+    left = jnp.where(col > 0, jnp.roll(cat, 1, axis=1),
+                     jnp.zeros_like(cat))
+    acc = acc + jnp.dot(left.reshape(-1, 3 * C), w3[0],
+                        preferred_element_type=jnp.float32)
+    right = jnp.where(col < W - 1, jnp.roll(cat, -1, axis=1),
+                      jnp.zeros_like(cat))
+    acc = acc + jnp.dot(right.reshape(-1, 3 * C), w3[2],
+                        preferred_element_type=jnp.float32)
+    return acc
+
+
+def _kernel(h_prev, h_cur, h_next, gxz, gxr_prev, gxr_cur, gxr_next, gxo,
+            w_ur, w_o, out_ref, *, tile_h: int, H: int, W: int, C: int):
+    i = pl.program_id(1)
+    dt = h_cur.dtype
+
+    # h with a 2-row halo: [tile_h+4, W, C]; mask rows outside [0, H)
+    hb = jnp.concatenate([h_prev[0, -2:], h_cur[0], h_next[0, :2]], axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 4, 1, 1), 0) \
+        + i * tile_h - 2
+    hb = jnp.where((row >= 0) & (row < H), hb, jnp.zeros_like(hb))
+
+    # ur conv over the 1-halo region: output rows [i*tile_h-1, ...+tile_h+1)
+    ur = _conv9(hb, w_ur, tile_h + 2, C).reshape(tile_h + 2, W, 2 * C)
+
+    gxr = jnp.concatenate([gxr_prev[0, -1:], gxr_cur[0], gxr_next[0, :1]],
+                          axis=0)
+    r = jax.nn.sigmoid(ur[..., C:] + gxr.astype(jnp.float32))
+    z = jax.nn.sigmoid(ur[1:tile_h + 1, :, :C]
+                       + gxz[0].astype(jnp.float32))
+
+    # out-gate conv on a = r * h (1-row halo); zero rows of hb make the
+    # border a rows exactly the zero padding the reference conv sees
+    a = (r * hb[1:tile_h + 3].astype(jnp.float32)).astype(dt)
+    acc_o = _conv9(a, w_o, tile_h, C)
+    out_g = jnp.tanh(acc_o.reshape(tile_h, W, C)
+                     + gxo[0].astype(jnp.float32))
+
+    h_int = hb[2:tile_h + 2].astype(jnp.float32)
+    out_ref[0] = (h_int * (1.0 - z) + out_g * z).astype(dt)
+
+
+def _pick_tile_h(H: int, W: int, C: int, esize: int) -> int:
+    """Largest H-tile whose ~9 double-buffered operand blocks + temps fit
+    the 16M VMEM (empirical: tile_h*W*C*esize = 512K -> ~12.3M total; f32
+    tile 16 at the flagship scale-0 measured 24.6M and OOMs)."""
+    for t in (32, 16, 8, 4):
+        if H % t == 0 and H >= t and t * W * C * esize <= 512 * 1024:
+            return t
+    return 0
+
+
+def supports(prev_state) -> bool:
+    """Shape constraints for the fused kernel (fallback otherwise).
+
+    bf16 only on hardware: the f32 variant's in-kernel temps (cat/shifted
+    copies + f32 accumulators) exceed the 16M VMEM even at tile_h=8 at the
+    flagship scale-0 (measured 20.9M), and the precomputed path that uses
+    this kernel is only ever auto-enabled for bf16 (PERF.md).  Interpret-
+    mode tests may pass f32 via tile_h override."""
+    if prev_state.ndim != 4 or prev_state.dtype != jnp.bfloat16:
+        return False
+    _, H, W, C = prev_state.shape
+    return _pick_tile_h(H, W, C, 2) > 0 and W % 8 == 0 and C % 8 == 0
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+def _run(h, gxz, gxr, gxo, w_ur, w_o, tile_h, interpret=False):
+    B, H, W, C = h.shape
+    n = H // tile_h
+    blk = lambda fm: pl.BlockSpec((1, tile_h, W, C), fm)  # noqa: E731
+    cur = blk(lambda b, i: (b, i, 0, 0))
+    prv = blk(lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0))
+    nxt = blk(lambda b, i: (b, jnp.minimum(i + 1, n - 1), 0, 0))
+    wspec_ur = pl.BlockSpec((3, 3 * C, 2 * C), lambda b, i: (0, 0, 0))
+    wspec_o = pl.BlockSpec((3, 3 * C, C), lambda b, i: (0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_kernel, tile_h=tile_h, H=H, W=W, C=C),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
+        grid=(B, n),
+        in_specs=[prv, cur, nxt,          # h
+                  cur,                    # gx_z
+                  prv, cur, nxt,          # gx_r
+                  cur,                    # gx_o
+                  wspec_ur, wspec_o],
+        out_specs=cur,
+        interpret=interpret,
+    )(h, h, h, gxz, gxr, gxr, gxr, gxo, w_ur, w_o)
+
+
+def conv_gru_hside_fused(p, gx, prev_state, tile_h: int = 0,
+                         interpret: bool = False):
+    """Drop-in for layers.conv_gru_apply_hside on TPU-friendly shapes.
+
+    p: ConvGRU param dict (update_gate/reset_gate/out_gate, HWIO weights on
+    cat(x, h)); gx: [B, H, W, 3C] precomputed x-side gates in
+    (update, reset, out) order with biases folded in; prev_state
+    [B, H, W, C].  Accumulates the convs in f32 (vs the XLA path's
+    conv-native accumulation) — outputs agree to normal float tolerance.
+    """
+    C = prev_state.shape[-1]
+    dt = prev_state.dtype
+    th = tile_h or _pick_tile_h(prev_state.shape[1], prev_state.shape[2], C,
+                                2 if dt == jnp.bfloat16 else 4)
+
+    def prep(w):  # HWIO [3, 3, C, out] -> [3(dx), 3C(dy-concat), out]
+        return jnp.stack([jnp.concatenate([w[dy, dx] for dy in range(3)],
+                                          axis=0) for dx in range(3)])
+
+    w_ur = prep(jnp.concatenate(
+        [p["update_gate"]["weight"][:, :, -C:],
+         p["reset_gate"]["weight"][:, :, -C:]], axis=-1)).astype(dt)
+    w_o = prep(p["out_gate"]["weight"][:, :, -C:]).astype(dt)
+    return _run(prev_state, gx[..., :C], gx[..., C:2 * C], gx[..., 2 * C:],
+                w_ur, w_o, th, interpret)

@@ -239,3 +239,31 @@ class TestLosses:
         expect = total / 4
         got = float(losses.multi_scale_grad_loss(jnp.asarray(pred), jnp.asarray(targ)))
         np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+
+def test_fused_gru_hside_kernel_matches_reference():
+    """Pallas fused h-side ConvGRU cell (ops/gru_hside.py, interpret mode on
+    CPU) == layers.conv_gru_apply_hside, including zero-padding borders and
+    multi-tile grids with halos."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import layers as L
+    from rpg_ramnet_tpu.ops.gru_hside import conv_gru_hside_fused, supports
+
+    rng = np.random.RandomState(0)
+    for (B, H, W, C) in ((1, 32, 24, 8), (2, 16, 16, 16), (1, 8, 8, 8)):
+        p = L.conv_gru_init(jax.random.PRNGKey(0), C, C, 3, jnp.float32)
+        h = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        gx = L.conv_gru_x_gates(p, x)
+        # hardware support is bf16-only (VMEM budget); interpret mode
+        # validates the math in f32
+        assert supports(h.astype(jnp.bfloat16))
+        ref = L.conv_gru_apply_hside(p, gx, h)
+        got = conv_gru_hside_fused(p, gx, h, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=str((B, H, W, C)))
+    # unsupported: odd H, f32 on hardware
+    assert not supports(jnp.zeros((1, 9, 16, 8), jnp.bfloat16))
+    assert not supports(jnp.zeros((1, 16, 16, 8), jnp.float32))
