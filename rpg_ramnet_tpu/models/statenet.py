@@ -320,14 +320,14 @@ def gru_x_gates(params, cfg: ModelConfig, xs: Sequence[Any],
     return [fn(c["recurrent_block"], x) for c, x in zip(combs, xs)]
 
 
-def _use_fused_gru(cfg: ModelConfig, s) -> bool:
-    if cfg.state_combination != "convgru":
-        return False
+def _use_fused_cell(cfg: ModelConfig, hidden, lstm: bool = False) -> bool:
+    """cfg.fused_gru policy for a per-scale hidden array (the convgru and
+    convlstm fused Pallas cells differ only in VMEM budget)."""
     mode = getattr(cfg, "fused_gru", "auto")
     if mode == "off":
         return False
     from ..ops import gru_hside
-    if not gru_hside.supports(s):
+    if not gru_hside.supports(hidden, lstm=lstm):
         return False
     return mode == "on" or jax.default_backend() == "tpu"
 
@@ -345,12 +345,20 @@ def combine_hside(params, cfg: ModelConfig, supers: Tuple, gx_scales,
     combs = params["state_combination_events" if modality == "events"
                    else "state_combination_images"]
     if cfg.state_combination == "convlstm":
-        fn = L.conv_lstm_apply_hside
+        if allow_fused:
+            from ..ops.gru_hside import conv_lstm_hside_fused
+
+            def fn(p, g, s):
+                if _use_fused_cell(cfg, s[0], lstm=True):
+                    return conv_lstm_hside_fused(p, g, s)
+                return L.conv_lstm_apply_hside(p, g, s)
+        else:
+            fn = L.conv_lstm_apply_hside
     elif allow_fused:
         from ..ops.gru_hside import conv_gru_hside_fused
 
         def fn(p, g, s):
-            if _use_fused_gru(cfg, s):
+            if _use_fused_cell(cfg, s):
                 return conv_gru_hside_fused(p, g, s)
             return L.conv_gru_apply_hside(p, g, s)
     else:

@@ -91,28 +91,33 @@ def _kernel(h_prev, h_cur, h_next, gxz, gxr_prev, gxr_cur, gxr_next, gxo,
     out_ref[0] = (h_int * (1.0 - z) + out_g * z).astype(dt)
 
 
-def _pick_tile_h(H: int, W: int, C: int, esize: int) -> int:
+def _pick_tile_h(H: int, W: int, C: int, esize: int,
+                 budget: int = 512 * 1024) -> int:
     """Largest H-tile whose ~9 double-buffered operand blocks + temps fit
-    the 16M VMEM (empirical: tile_h*W*C*esize = 512K -> ~12.3M total; f32
-    tile 16 at the flagship scale-0 measured 24.6M and OOMs)."""
+    the 16M VMEM (empirical: tile_h*W*C*esize = 512K -> ~12.3M total for
+    the GRU cell; f32 tile 16 at the flagship scale-0 measured 24.6M and
+    OOMs).  The LSTM cell's 4C gx block + f32 gates need a halved budget
+    (bf16 tile 16 at scale-0 measured 22.3M)."""
     for t in (32, 16, 8, 4):
-        if H % t == 0 and H >= t and t * W * C * esize <= 512 * 1024:
+        if H % t == 0 and H >= t and t * W * C * esize <= budget:
             return t
     return 0
 
 
-def supports(prev_state) -> bool:
-    """Shape constraints for the fused kernel (fallback otherwise).
+def supports(prev_state, lstm: bool = False) -> bool:
+    """Shape constraints for the fused kernels (fallback otherwise).
 
     bf16 only on hardware: the f32 variant's in-kernel temps (cat/shifted
     copies + f32 accumulators) exceed the 16M VMEM even at tile_h=8 at the
     flagship scale-0 (measured 20.9M), and the precomputed path that uses
-    this kernel is only ever auto-enabled for bf16 (PERF.md).  Interpret-
+    these kernels is only ever auto-enabled for bf16 (PERF.md).  Interpret-
     mode tests may pass f32 via tile_h override."""
     if prev_state.ndim != 4 or prev_state.dtype != jnp.bfloat16:
         return False
     _, H, W, C = prev_state.shape
-    return _pick_tile_h(H, W, C, 2) > 0 and W % 8 == 0 and C % 8 == 0
+    budget = 256 * 1024 if lstm else 512 * 1024
+    return (_pick_tile_h(H, W, C, 2, budget=budget) > 0
+            and W % 8 == 0 and C % 8 == 0)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
@@ -137,6 +142,68 @@ def _run(h, gxz, gxr, gxo, w_ur, w_o, tile_h, interpret=False):
         out_specs=cur,
         interpret=interpret,
     )(h, h, h, gxz, gxr, gxr, gxr, gxo, w_ur, w_o)
+
+
+def _lstm_kernel(h_prev, h_cur, h_next, c_cur, gx_cur, w4, hid_ref, cell_ref,
+                 *, tile_h: int, H: int, W: int, C: int):
+    i = pl.program_id(1)
+    dt = h_cur.dtype
+
+    # 1-row halo only (no reset-gate chain): [tile_h+2, W, C]
+    hb = jnp.concatenate([h_prev[0, -1:], h_cur[0], h_next[0, :1]], axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 2, 1, 1), 0) \
+        + i * tile_h - 1
+    hb = jnp.where((row >= 0) & (row < H), hb, jnp.zeros_like(hb))
+
+    gates = _conv9(hb, w4, tile_h, C).reshape(tile_h, W, 4 * C) \
+        + gx_cur[0].astype(jnp.float32)
+    in_g = jax.nn.sigmoid(gates[..., :C])
+    rem_g = jax.nn.sigmoid(gates[..., C:2 * C])
+    out_g = jax.nn.sigmoid(gates[..., 2 * C:3 * C])
+    cell_g = jnp.tanh(gates[..., 3 * C:])
+    cell = rem_g * c_cur[0].astype(jnp.float32) + in_g * cell_g
+    hid_ref[0] = (out_g * jnp.tanh(cell)).astype(dt)
+    cell_ref[0] = cell.astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+def _run_lstm(h, c, gx, w4, tile_h, interpret=False):
+    B, H, W, C = h.shape
+    n = H // tile_h
+    blk = lambda fm, ch=C: pl.BlockSpec((1, tile_h, W, ch), fm)  # noqa: E731
+    cur = blk(lambda b, i: (b, i, 0, 0))
+    prv = blk(lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0))
+    nxt = blk(lambda b, i: (b, jnp.minimum(i + 1, n - 1), 0, 0))
+    gspec = blk(lambda b, i: (b, i, 0, 0), 4 * C)
+    wspec = pl.BlockSpec((3, 3 * C, 4 * C), lambda b, i: (0, 0, 0))
+    shp = jax.ShapeDtypeStruct((B, H, W, C), h.dtype)
+    return pl.pallas_call(
+        functools.partial(_lstm_kernel, tile_h=tile_h, H=H, W=W, C=C),
+        out_shape=(shp, shp),
+        grid=(B, n),
+        in_specs=[prv, cur, nxt, cur, gspec, wspec],
+        out_specs=(cur, cur),
+        interpret=interpret,
+    )(h, h, h, c, gx, w4)
+
+
+def conv_lstm_hside_fused(p, gx, state, tile_h: int = 0,
+                          interpret: bool = False):
+    """Drop-in for layers.conv_lstm_apply_hside: the fused 4-gate ConvLSTM
+    h-side completion as ONE Pallas pass (single conv on h, no reset-gate
+    halo chain — simpler than the GRU cell).  state = (hidden, cell);
+    gx = conv_lstm_x_gates(p, x), gate order (in, remember, out, cell) as
+    the reference's fused 'Gates' conv (submodules.py:303-358)."""
+    prev_hidden, prev_cell = state
+    C = prev_hidden.shape[-1]
+    dt = prev_hidden.dtype
+    th = tile_h or _pick_tile_h(prev_hidden.shape[1], prev_hidden.shape[2],
+                                C, 2 if dt == jnp.bfloat16 else 4,
+                                budget=256 * 1024)
+    w = p["Gates"]["weight"][:, :, -C:]          # HWIO [3, 3, C, 4C]
+    w4 = jnp.stack([jnp.concatenate([w[dy, dx] for dy in range(3)], axis=0)
+                    for dx in range(3)]).astype(dt)     # [3, 3C, 4C]
+    return _run_lstm(prev_hidden, prev_cell, gx, w4, th, interpret)
 
 
 def conv_gru_hside_fused(p, gx, prev_state, tile_h: int = 0,

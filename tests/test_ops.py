@@ -267,3 +267,26 @@ def test_fused_gru_hside_kernel_matches_reference():
     # unsupported: odd H, f32 on hardware
     assert not supports(jnp.zeros((1, 9, 16, 8), jnp.bfloat16))
     assert not supports(jnp.zeros((1, 16, 16, 8), jnp.float32))
+
+
+def test_fused_lstm_hside_kernel_matches_reference():
+    """Pallas fused h-side ConvLSTM cell == layers.conv_lstm_apply_hside
+    (interpret mode), hidden and cell outputs, multi-tile halos + borders."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import layers as L
+    from rpg_ramnet_tpu.ops.gru_hside import conv_lstm_hside_fused
+
+    rng = np.random.RandomState(3)
+    for (B, H, W, C) in ((1, 32, 24, 8), (2, 16, 16, 16)):
+        p = L.conv_lstm_init(jax.random.PRNGKey(1), C, C, 3, jnp.float32)
+        h = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        c = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        gx = L.conv_lstm_x_gates(p, x)
+        ref_h, ref_c = L.conv_lstm_apply_hside(p, gx, (h, c))
+        got_h, got_c = conv_lstm_hside_fused(p, gx, (h, c), interpret=True)
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c),
+                                   atol=1e-5, rtol=1e-5)
