@@ -85,8 +85,8 @@ class StreamingInference:
                     p, cfg, s, pkg))
         else:
             self._fwd = jax.jit(
-                lambda p, s, pkg: self.model.forward_package(p, cfg, s, pkg,
-                                                             decode_keys=dk))
+                lambda p, s, pkg: self.model.forward_package(
+                    p, cfg, s, pkg, decode_keys=dk))
         self._state = None
 
     def reset(self, batch: int, height: int, width: int):

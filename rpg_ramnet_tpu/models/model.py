@@ -73,7 +73,8 @@ def _apply_reset(reset, tree):
     return jax.tree_util.tree_map(mask_leaf, tree)
 
 
-def _package_snapshot_step(params, cfg: ModelConfig, state, pkg, sel_keys):
+def _package_snapshot_step(params, cfg: ModelConfig, state, pkg, sel_keys,
+                           allow_fused=False):
     """One datapackage of state updates (K event steps + image step, NO
     decodes), returning the batch-concatenated decoder_view snapshots for
     `sel_keys` — the shared body of both batched-decode paths.  Snapshots
@@ -94,13 +95,15 @@ def _package_snapshot_step(params, cfg: ModelConfig, state, pkg, sel_keys):
         t = times_ev[:, k] if times_ev is not None else None
         state = statenet.forward_modality(params, cfg, x, state,
                                           event_modality, times=t,
-                                          input_layout=layout)
+                                          input_layout=layout,
+                                          allow_fused=allow_fused)
         if f"events{k}" in sel_keys:
             snaps.append(statenet.decoder_view(cfg, state))
     img, layout = ((pkg["image_cf"], "NCHW") if "image_cf" in pkg
                    else (pkg["image"], "NHWC"))
     state = statenet.forward_modality(params, cfg, img, state, "image",
-                                      times=times_im, input_layout=layout)
+                                      times=times_im, input_layout=layout,
+                                      allow_fused=allow_fused)
     if "image" in sel_keys:
         snaps.append(statenet.decoder_view(cfg, state))
     # [S*B, h, w, c] per leaf — fold the step axis into batch so a scan
@@ -200,7 +203,7 @@ class ERGB2DepthRecurrent:
     @staticmethod
     def forward_package(params, cfg: ModelConfig, state, pkg,
                         decode_keys: Optional[Sequence[str]] = None,
-                        norm_ctx=None):
+                        norm_ctx=None, allow_fused: bool = False):
         """One datapackage: K event steps then the image step, decoding after
         every modality update (dense supervision, model.py:176-217).
 
@@ -231,7 +234,8 @@ class ERGB2DepthRecurrent:
             state = statenet.forward_modality(params, cfg, x, state,
                                               event_modality, times=t,
                                               input_layout=layout,
-                                              norm_ctx=norm_ctx)
+                                              norm_ctx=norm_ctx,
+                                              allow_fused=allow_fused)
             key = f"events{k}"
             if decode_keys is None or key in decode_keys:
                 preds[key] = statenet.forward_decoder(params, cfg, state,
@@ -243,14 +247,16 @@ class ERGB2DepthRecurrent:
         state = statenet.forward_modality(params, cfg, img, state,
                                           "image", times=times_im,
                                           input_layout=layout,
-                                          norm_ctx=norm_ctx)
+                                          norm_ctx=norm_ctx,
+                                          allow_fused=allow_fused)
         if decode_keys is None or "image" in decode_keys:
             preds["image"] = statenet.forward_decoder(params, cfg, state,
                                                       norm_ctx=norm_ctx)
         return state, preds
 
     @staticmethod
-    def forward_package_batched_decode(params, cfg: ModelConfig, state, pkg):
+    def forward_package_batched_decode(params, cfg: ModelConfig, state, pkg,
+                                       allow_fused: bool = False):
         """Identical math to forward_package, but the K+1 decoder passes run
         as ONE batched pass: the per-step super-state pyramids are stacked
         on the batch dim and decoded together.  Decodes do not feed back
@@ -261,7 +267,8 @@ class ERGB2DepthRecurrent:
         PhasedLSTM gates inside forward_modality — the decoder reads just
         the super states, so deferring decodes is orthogonal."""
         keys = prediction_keys(cfg)
-        state, stacked = _package_snapshot_step(params, cfg, state, pkg, keys)
+        state, stacked = _package_snapshot_step(params, cfg, state, pkg, keys,
+                                                allow_fused=allow_fused)
         batched_preds = statenet.forward_decoder_supers(params, cfg, stacked)
         b = (pkg["image_cf"] if "image_cf" in pkg else pkg["image"]).shape[0]
         preds = {}
@@ -274,7 +281,8 @@ class ERGB2DepthRecurrent:
                                         decode_keys: Optional[Sequence[str]] = None,
                                         remat: bool = False,
                                         squeeze_preds: bool = False,
-                                        package_precompute: bool = False):
+                                        package_precompute: bool = False,
+                                        allow_fused: bool = False):
         """forward_sequence with ALL decodes deferred and batched: lax.scan
         runs only the sequential work (encoders + per-scale recurrent state
         combination), stacking the per-package super-state pyramids; ONE
@@ -328,6 +336,9 @@ class ERGB2DepthRecurrent:
                    else _package_snapshot_step)
 
         def step(state, pkg):
+            if step_fn is _package_snapshot_step:
+                return step_fn(params, cfg, state, pkg, sel_keys,
+                               allow_fused=allow_fused)
             return step_fn(params, cfg, state, pkg, sel_keys)
 
         if remat:
@@ -525,7 +536,7 @@ class ERGB2Depth:
     @staticmethod
     def forward_package(params, cfg: ModelConfig, state, pkg,
                         decode_keys: Optional[Sequence[str]] = None,
-                        norm_ctx=None):
+                        norm_ctx=None, allow_fused: bool = False):
         return state, {"image": unet.forward(params, cfg, pkg["image"],
                                              norm_ctx=norm_ctx)}
 

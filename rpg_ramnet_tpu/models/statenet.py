@@ -181,7 +181,7 @@ def _super_hidden(cfg: ModelConfig, s):
 
 def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
                      modality: str, times=None, input_layout: str = "NHWC",
-                     norm_ctx=None):
+                     norm_ctx=None, allow_fused: bool = False):
     """One encoder sweep of one modality, updating the shared super states.
 
     modality: 'events' -> head_events/encoders_events/state_combination_events
@@ -189,6 +189,8 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
     Reference: statenet.py forward_events:204-239 / forward_images:241-288.
     norm_ctx: layers.NormCtx for training-mode BN/IN (batch stats + running
     stat collection); None = eval semantics.
+    allow_fused: permit the full fused Pallas ConvGRU cell for the
+    per-scale state combination (inference only — no VJP).
     Returns (new_state, None).
     """
     is_events = modality == "events"
@@ -250,8 +252,16 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
                 _, super_state = L.recurrent_conv_layer_apply(
                     combs[i], x, prev_super, "convlstm")
             elif cfg.state_combination == "convgru":
-                super_state, _ = L.recurrent_conv_layer_apply(
-                    combs[i], x, prev_super, "convgru")
+                if allow_fused and _use_fused_cell(cfg, prev_super):
+                    # inference-only full fused Pallas cell (K=6C MXU
+                    # contraction; no VJP — training paths never set
+                    # allow_fused)
+                    from ..ops.gru_hside import conv_gru_full_fused
+                    super_state = conv_gru_full_fused(
+                        combs[i]["recurrent_block"], x, prev_super)
+                else:
+                    super_state, _ = L.recurrent_conv_layer_apply(
+                        combs[i], x, prev_super, "convgru")
             elif cfg.state_combination == "conv":
                 super_state = L.conv_layer_apply(
                     combs[i], jnp.concatenate([x, prev_super], -1), 1, 2,

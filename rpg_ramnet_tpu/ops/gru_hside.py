@@ -206,6 +206,90 @@ def conv_lstm_hside_fused(p, gx, state, tile_h: int = 0,
     return _run_lstm(prev_hidden, prev_cell, gx, w4, th, interpret)
 
 
+def _full_kernel(x_prev, x_cur, x_next, h_prev, h_cur, h_next, b_ur, b_o,
+                 w_ur, w_o, out_ref, *, tile_h: int, H: int, W: int, C: int):
+    """Full ConvGRU cell (x AND h side): conv on cat(x, h) gives K=6C after
+    the row-tap fold — full MXU contraction fill at the flagship scales."""
+    i = pl.program_id(1)
+    dt = h_cur.dtype
+
+    def halo2(prev, cur, nxt):
+        b = jnp.concatenate([prev[0, -2:], cur[0], nxt[0, :2]], axis=0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 4, 1, 1), 0) \
+            + i * tile_h - 2
+        return jnp.where((row >= 0) & (row < H), b, jnp.zeros_like(b))
+
+    xb = halo2(x_prev, x_cur, x_next)
+    hb = halo2(h_prev, h_cur, h_next)
+    xh = jnp.concatenate([xb, hb], axis=-1)          # [tile_h+4, W, 2C]
+
+    ur = _conv9(xh, w_ur, tile_h + 2, 2 * C).reshape(tile_h + 2, W, 2 * C) \
+        + b_ur[0].astype(jnp.float32)
+    z = jax.nn.sigmoid(ur[1:tile_h + 1, :, :C])
+    r = jax.nn.sigmoid(ur[..., C:])
+
+    a = jnp.concatenate(
+        [xb[1:tile_h + 3],
+         (r * hb[1:tile_h + 3].astype(jnp.float32)).astype(dt)], axis=-1)
+    out_g = jnp.tanh(_conv9(a, w_o, tile_h, 2 * C).reshape(tile_h, W, C)
+                     + b_o[0].astype(jnp.float32))
+
+    h_int = hb[2:tile_h + 2].astype(jnp.float32)
+    out_ref[0] = (h_int * (1.0 - z) + out_g * z).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+def _run_full(x, h, b_ur, b_o, w_ur, w_o, tile_h, interpret=False):
+    B, H, W, C = h.shape
+    n = H // tile_h
+    blk = lambda fm: pl.BlockSpec((1, tile_h, W, C), fm)  # noqa: E731
+    cur = blk(lambda b, i: (b, i, 0, 0))
+    prv = blk(lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0))
+    nxt = blk(lambda b, i: (b, jnp.minimum(i + 1, n - 1), 0, 0))
+    bspec_ur = pl.BlockSpec((1, 2 * C), lambda b, i: (0, 0))
+    bspec_o = pl.BlockSpec((1, C), lambda b, i: (0, 0))
+    wspec_ur = pl.BlockSpec((3, 6 * C, 2 * C), lambda b, i: (0, 0, 0))
+    wspec_o = pl.BlockSpec((3, 6 * C, C), lambda b, i: (0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_full_kernel, tile_h=tile_h, H=H, W=W, C=C),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
+        grid=(B, n),
+        in_specs=[prv, cur, nxt, prv, cur, nxt,
+                  bspec_ur, bspec_o, wspec_ur, wspec_o],
+        out_specs=cur,
+        interpret=interpret,
+    )(x, x, x, h, h, h, b_ur, b_o, w_ur, w_o)
+
+
+def conv_gru_full_fused(p, x, prev_state, tile_h: int = 0,
+                        interpret: bool = False):
+    """Drop-in for layers.conv_gru_apply on TPU-friendly shapes: the whole
+    ConvGRU cell in one Pallas pass — for the per-package (latency)
+    streaming path where no precomputed gx exists.  The conv on cat(x, h)
+    folds to a K=6C contraction (384 at the flagship scale-0: full MXU
+    fill).  f32-accumulated gates; bf16 only (supports(..., lstm=True)
+    budget — the 6C temps match the LSTM cell's footprint)."""
+    C = prev_state.shape[-1]
+    dt = prev_state.dtype
+    th = tile_h or _pick_tile_h(prev_state.shape[1], prev_state.shape[2], C,
+                                2 if dt == jnp.bfloat16 else 4,
+                                budget=256 * 1024)
+
+    def prep(w):  # HWIO [3, 3, 2C, out] -> [3(dx), 6C(dy-concat), out]
+        return jnp.stack([jnp.concatenate([w[dy, dx] for dy in range(3)],
+                                          axis=0) for dx in range(3)])
+
+    w_ur = prep(jnp.concatenate([p["update_gate"]["weight"],
+                                 p["reset_gate"]["weight"]],
+                                axis=-1)).astype(dt)
+    w_o = prep(p["out_gate"]["weight"]).astype(dt)
+    b_ur = jnp.concatenate([p["update_gate"]["bias"],
+                            p["reset_gate"]["bias"]])[None].astype(dt)
+    b_o = p["out_gate"]["bias"][None].astype(dt)
+    return _run_full(x.astype(dt), prev_state, b_ur, b_o, w_ur, w_o, th,
+                     interpret)
+
+
 def conv_gru_hside_fused(p, gx, prev_state, tile_h: int = 0,
                          interpret: bool = False):
     """Drop-in for layers.conv_gru_apply_hside on TPU-friendly shapes.

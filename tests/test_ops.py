@@ -290,3 +290,25 @@ def test_fused_lstm_hside_kernel_matches_reference():
                                    atol=1e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_fused_gru_full_cell_matches_reference():
+    """Full fused ConvGRU cell (x+h in-kernel, K=6C fold) ==
+    layers.conv_gru_apply (interpret mode).  Measured as an in-context
+    LOSS on hardware (custom-call layout boundaries) — kept as an opt-in
+    with the math verified here (PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import layers as L
+    from rpg_ramnet_tpu.ops.gru_hside import conv_gru_full_fused
+
+    rng = np.random.RandomState(5)
+    for (B, H, W, C) in ((1, 32, 24, 8), (2, 16, 16, 16)):
+        p = L.conv_gru_init(jax.random.PRNGKey(2), C, C, 3, jnp.float32)
+        h = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        ref = L.conv_gru_apply(p, x, h)
+        got = conv_gru_full_fused(p, x, h, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=str((B, H, W, C)))
