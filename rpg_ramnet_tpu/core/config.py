@@ -43,10 +43,15 @@ class ModelConfig:
     compute_dtype: str = "float32"          # 'float32' | 'bfloat16'
     fast_upsample: bool = False             # subpixel decoder (exact; see PERF.md)
     # fused Pallas h-side ConvGRU cell on the precomputed inference path
-    # (ops/gru_hside.py): 'auto' = on for supported shapes on TPU,
-    # 'on'/'off' force.  f32-accumulated gates (~bf16-eps from the XLA
-    # path); single-chip only — set 'off' under a sharded mesh.
+    # (ops/gru_hside.py): 'auto' = on for supported shapes on a
+    # SINGLE-device TPU (statenet._use_fused_cell enforces
+    # jax.device_count()==1 — the kernels ignore shardings); 'on'/'off'
+    # force.  f32-accumulated gates (~bf16-eps from the XLA path).
     fused_gru: str = "auto"
+    # fused Pallas upsample+5x5-conv decoder layers on inference paths
+    # (ops/upsample_conv.py): same 'auto'/'on'/'off' semantics and
+    # single-device-TPU auto gate as fused_gru (statenet._use_fused_decoder)
+    fused_decoder: str = "auto"
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "ModelConfig":
@@ -76,6 +81,7 @@ class ModelConfig:
             compute_dtype=str(d.get("compute_dtype", "float32")),
             fast_upsample=bool(d.get("fast_upsample", False)),
             fused_gru=str(d.get("fused_gru", "auto")),
+            fused_decoder=str(d.get("fused_decoder", "auto")),
         )
 
     @property

@@ -82,11 +82,12 @@ class StreamingInference:
                 self.model, "forward_package_batched_decode"):
             self._fwd = jax.jit(
                 lambda p, s, pkg: self.model.forward_package_batched_decode(
-                    p, cfg, s, pkg))
+                    p, cfg, s, pkg, allow_fused_decoder=True))
         else:
             self._fwd = jax.jit(
                 lambda p, s, pkg: self.model.forward_package(
-                    p, cfg, s, pkg, decode_keys=dk))
+                    p, cfg, s, pkg, decode_keys=dk,
+                    allow_fused_decoder=True))
         self._state = None
 
     def reset(self, batch: int, height: int, width: int):
@@ -171,7 +172,7 @@ class SequenceScanInference:
                                         "forward_sequence_batched_decode"):
             self._fwd = jax.jit(
                 lambda p, s, seq: self.model.forward_sequence_batched_decode(
-                    p, cfg, s, seq))
+                    p, cfg, s, seq, allow_fused_decoder=True))
         else:
             self._fwd = jax.jit(
                 lambda p, s, seq: self.model.forward_sequence(p, cfg, s, seq))
@@ -230,7 +231,7 @@ def run_chunked_streaming(dataset, params, cfg: ModelConfig,
             p, cfg, s, seq, decode_keys=dk))
     elif batched_decode and hasattr(model, "forward_sequence_batched_decode"):
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence_batched_decode(
-            p, cfg, s, seq, decode_keys=dk))
+            p, cfg, s, seq, decode_keys=dk, allow_fused_decoder=True))
     else:
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence(
             p, cfg, s, seq, decode_keys=dk))
@@ -322,7 +323,8 @@ class BatchedStreamingInference:
                 m = reset_mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
                 return jnp.where(m, jnp.zeros_like(leaf), leaf)
             state = jax.tree_util.tree_map(mask_leaf, state)
-            return self.model.forward_package(params, cfg, state, pkg)
+            return self.model.forward_package(params, cfg, state, pkg,
+                                              allow_fused_decoder=True)
 
         self._fwd = jax.jit(fwd)
 
@@ -441,7 +443,7 @@ def run_batched_chunked_streaming(dataset, params, cfg: ModelConfig,
             p, cfg, s, seq, decode_keys=dk))
     elif hasattr(model, "forward_sequence_batched_decode"):
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence_batched_decode(
-            p, cfg, s, seq, decode_keys=dk))
+            p, cfg, s, seq, decode_keys=dk, allow_fused_decoder=True))
     else:
         # stateless archs (ERGB2Depth): plain forward_sequence; resets are
         # irrelevant without recurrent state

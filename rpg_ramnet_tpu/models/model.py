@@ -114,13 +114,15 @@ def _package_snapshot_step(params, cfg: ModelConfig, state, pkg, sel_keys,
 
 
 def _package_snapshot_step_pre(params, cfg: ModelConfig, state, pkg,
-                               sel_keys):
+                               sel_keys, allow_fused=False):
     """_package_snapshot_step with the package's x-side work batched:
     the K event encoder sweeps + x-side GRU gate convs run as ONE (K*B)-deep
     pass (they are state-independent under recurrent_block_type='conv'),
     leaving only the K+1 h-side GRU completions sequential.  gx memory is
     bounded to one package, so this composes with remat'd training scans
-    (unlike forward_sequence_precomputed's whole-chunk buffers)."""
+    (unlike forward_sequence_precomputed's whole-chunk buffers).
+    allow_fused: permit the Pallas fused h-side cells (round 3: they carry
+    a custom VJP, so GRADIENT consumers may set this too)."""
     loop = event_loop_range(cfg)
     if "events_cf" in pkg:
         ev, layout = pkg["events_cf"], "NCHW"    # [B, K, C, H, W]
@@ -142,7 +144,8 @@ def _package_snapshot_step_pre(params, cfg: ModelConfig, state, pkg,
         "image")
     supers = _apply_reset(pkg.get("reset"), tuple(state.super_states))
     supers, stacked = _hside_package(params, cfg, supers, gx_ev, gx_im,
-                                     sel_keys, loop)
+                                     sel_keys, loop,
+                                     allow_fused=allow_fused)
     return state._replace(super_states=supers), stacked
 
 
@@ -170,13 +173,16 @@ def _hside_package(params, cfg: ModelConfig, supers, gev, gim, sel_keys,
 
 
 def _decode_snapshots(params, cfg: ModelConfig, snapshots, sel_keys, l, b,
-                      squeeze_preds):
+                      squeeze_preds, allow_fused_decoder=False):
     """ONE decoder pass over scan-stacked snapshot pyramids (leaves
     [L, S*B, h, w, c]), regrouped into per-key [L, B, H, W(, 1)] preds —
-    the shared tail of the deferred-decode sequence paths."""
+    the shared tail of the deferred-decode sequence paths.
+    allow_fused_decoder: permit the Pallas upsample-conv decoder kernel
+    (inference callers only — no VJP)."""
     flat = jax.tree_util.tree_map(
         lambda v: v.reshape((-1,) + v.shape[2:]), snapshots)
-    batched_preds = statenet.forward_decoder_supers(params, cfg, flat)
+    batched_preds = statenet.forward_decoder_supers(
+        params, cfg, flat, allow_fused=allow_fused_decoder)
     # [L, S, B, H, W, 1] -> per-key [L, B, H, W, 1]
     grouped = batched_preds.reshape((l, len(sel_keys), b)
                                     + batched_preds.shape[1:])
@@ -203,7 +209,8 @@ class ERGB2DepthRecurrent:
     @staticmethod
     def forward_package(params, cfg: ModelConfig, state, pkg,
                         decode_keys: Optional[Sequence[str]] = None,
-                        norm_ctx=None, allow_fused: bool = False):
+                        norm_ctx=None, allow_fused: bool = False,
+                        allow_fused_decoder: bool = False):
         """One datapackage: K event steps then the image step, decoding after
         every modality update (dense supervision, model.py:176-217).
 
@@ -238,8 +245,9 @@ class ERGB2DepthRecurrent:
                                               allow_fused=allow_fused)
             key = f"events{k}"
             if decode_keys is None or key in decode_keys:
-                preds[key] = statenet.forward_decoder(params, cfg, state,
-                                                      norm_ctx=norm_ctx)
+                preds[key] = statenet.forward_decoder(
+                    params, cfg, state, norm_ctx=norm_ctx,
+                    allow_fused=allow_fused_decoder)
         if "image_cf" in pkg:
             img, layout = pkg["image_cf"], "NCHW"
         else:
@@ -250,13 +258,15 @@ class ERGB2DepthRecurrent:
                                           norm_ctx=norm_ctx,
                                           allow_fused=allow_fused)
         if decode_keys is None or "image" in decode_keys:
-            preds["image"] = statenet.forward_decoder(params, cfg, state,
-                                                      norm_ctx=norm_ctx)
+            preds["image"] = statenet.forward_decoder(
+                params, cfg, state, norm_ctx=norm_ctx,
+                allow_fused=allow_fused_decoder)
         return state, preds
 
     @staticmethod
     def forward_package_batched_decode(params, cfg: ModelConfig, state, pkg,
-                                       allow_fused: bool = False):
+                                       allow_fused: bool = False,
+                                       allow_fused_decoder: bool = False):
         """Identical math to forward_package, but the K+1 decoder passes run
         as ONE batched pass: the per-step super-state pyramids are stacked
         on the batch dim and decoded together.  Decodes do not feed back
@@ -269,7 +279,8 @@ class ERGB2DepthRecurrent:
         keys = prediction_keys(cfg)
         state, stacked = _package_snapshot_step(params, cfg, state, pkg, keys,
                                                 allow_fused=allow_fused)
-        batched_preds = statenet.forward_decoder_supers(params, cfg, stacked)
+        batched_preds = statenet.forward_decoder_supers(
+            params, cfg, stacked, allow_fused=allow_fused_decoder)
         b = (pkg["image_cf"] if "image_cf" in pkg else pkg["image"]).shape[0]
         preds = {}
         for i, key in enumerate(keys):
@@ -282,7 +293,8 @@ class ERGB2DepthRecurrent:
                                         remat: bool = False,
                                         squeeze_preds: bool = False,
                                         package_precompute: bool = False,
-                                        allow_fused: bool = False):
+                                        allow_fused: bool = False,
+                                        allow_fused_decoder: bool = False):
         """forward_sequence with ALL decodes deferred and batched: lax.scan
         runs only the sequential work (encoders + per-scale recurrent state
         combination), stacking the per-package super-state pyramids; ONE
@@ -336,10 +348,8 @@ class ERGB2DepthRecurrent:
                    else _package_snapshot_step)
 
         def step(state, pkg):
-            if step_fn is _package_snapshot_step:
-                return step_fn(params, cfg, state, pkg, sel_keys,
-                               allow_fused=allow_fused)
-            return step_fn(params, cfg, state, pkg, sel_keys)
+            return step_fn(params, cfg, state, pkg, sel_keys,
+                           allow_fused=allow_fused)
 
         if remat:
             step = jax.checkpoint(step)
@@ -349,7 +359,8 @@ class ERGB2DepthRecurrent:
         img_t = seq_t["image_cf"] if "image_cf" in seq_t else seq_t["image"]
         preds = _decode_snapshots(params, cfg, snapshots, sel_keys,
                                   img_t.shape[0], img_t.shape[1],
-                                  squeeze_preds)
+                                  squeeze_preds,
+                                  allow_fused_decoder=allow_fused_decoder)
         return final_state, preds
 
     @staticmethod
@@ -436,8 +447,9 @@ class ERGB2DepthRecurrent:
             xs = xs + (reset_t,)
         final_supers, snapshots = jax.lax.scan(
             step, tuple(state.super_states), xs)
+        # inference-only path: the fused Pallas decoder kernel is allowed
         preds = _decode_snapshots(params, cfg, snapshots, sel_keys, l, b,
-                                  squeeze_preds)
+                                  squeeze_preds, allow_fused_decoder=True)
         return state._replace(super_states=final_supers), preds
 
     @staticmethod
@@ -536,9 +548,15 @@ class ERGB2Depth:
     @staticmethod
     def forward_package(params, cfg: ModelConfig, state, pkg,
                         decode_keys: Optional[Sequence[str]] = None,
-                        norm_ctx=None, allow_fused: bool = False):
-        return state, {"image": unet.forward(params, cfg, pkg["image"],
-                                             norm_ctx=norm_ctx)}
+                        norm_ctx=None, allow_fused: bool = False,
+                        allow_fused_decoder: bool = False):
+        if "image_cf" in pkg:
+            img, layout = pkg["image_cf"], "NCHW"
+        else:
+            img, layout = pkg["image"], "NHWC"
+        return state, {"image": unet.forward(params, cfg, img,
+                                             norm_ctx=norm_ctx,
+                                             input_layout=layout)}
 
     @staticmethod
     def forward_sequence(params, cfg: ModelConfig, state, seq,
@@ -551,20 +569,32 @@ class ERGB2Depth:
         # axis (one update of the running stats for the whole window) —
         # torch would update per step; for the non-recurrent baseline the
         # per-window statistics are identical in expectation.
-        img = seq["image"]
-        b, l = img.shape[0], img.shape[1]
+        if "image_tcf" in seq:
+            # chunked-driver packing: TIME-LEADING channel-first
+            # [L, B, C, H, W] (run_chunked_streaming.load_chunk) — the
+            # stateless fallback of the chunked drivers lands here
+            img, layout, time_leading = seq["image_tcf"], "NCHW", True
+            l, b = img.shape[0], img.shape[1]
+        else:
+            img, layout, time_leading = seq["image"], "NHWC", False
+            b, l = img.shape[0], img.shape[1]
         flat = img.reshape((b * l,) + img.shape[2:])
         if norm_stats is not None:
             from .layers import NormCtx
             ctx = NormCtx(norm_stats)
-            pred = unet.forward(params, cfg, flat, norm_ctx=ctx)
+            pred = unet.forward(params, cfg, flat, norm_ctx=ctx,
+                                input_layout=layout)
             stats_out = {**norm_stats, **ctx.out}
         else:
-            pred = unet.forward(params, cfg, flat)
-        pred = pred.reshape((b, l) + pred.shape[1:])
-        if squeeze_preds:
-            pred = pred[..., 0]
-        preds = {"image": jnp.moveaxis(pred, 1, 0)}
+            pred = unet.forward(params, cfg, flat, input_layout=layout)
+        if time_leading:
+            pred = pred.reshape((l, b) + pred.shape[1:])
+            preds = {"image": pred[..., 0] if squeeze_preds else pred}
+        else:
+            pred = pred.reshape((b, l) + pred.shape[1:])
+            if squeeze_preds:
+                pred = pred[..., 0]
+            preds = {"image": jnp.moveaxis(pred, 1, 0)}
         if norm_stats is not None:
             return state, preds, stats_out
         return state, preds

@@ -252,7 +252,12 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
                 _, super_state = L.recurrent_conv_layer_apply(
                     combs[i], x, prev_super, "convlstm")
             elif cfg.state_combination == "convgru":
-                if allow_fused and _use_fused_cell(cfg, prev_super):
+                # lstm=True: the full cell's K=6C temps need the halved
+                # (256K) VMEM budget — same footprint as the LSTM cell —
+                # so the gate must use the budget the kernel picks tiles
+                # with (a mismatch resolved tile_h=0 -> ZeroDivisionError)
+                if allow_fused and _use_fused_cell(cfg, prev_super,
+                                                   lstm=True):
                     # inference-only full fused Pallas cell (K=6C MXU
                     # contraction; no VJP — training paths never set
                     # allow_fused)
@@ -339,7 +344,13 @@ def _use_fused_cell(cfg: ModelConfig, hidden, lstm: bool = False) -> bool:
     from ..ops import gru_hside
     if not gru_hside.supports(hidden, lstm=lstm):
         return False
-    return mode == "on" or jax.default_backend() == "tpu"
+    if mode == "on":
+        return True
+    # auto: single-chip TPU only — the Pallas kernels ignore shardings, so
+    # under a multi-device mesh they'd silently compute on unsharded
+    # layouts; 'on' overrides for callers who know their arrays are
+    # replicated/unsharded
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def combine_hside(params, cfg: ModelConfig, supers: Tuple, gx_scales,
@@ -349,9 +360,9 @@ def combine_hside(params, cfg: ModelConfig, supers: Tuple, gx_scales,
     per-scale arrays for convgru, (hidden, cell) tuples for convlstm.
 
     allow_fused: permit the Pallas fused GRU cell (cfg.fused_gru policy;
-    ops/gru_hside.py — 2.1x XLA at the flagship scale-0).  Only the
-    inference-only precomputed path sets this: the kernel defines no VJP,
-    so gradient consumers (trainer.precompute_x) must not."""
+    ops/gru_hside.py — 2.1x XLA at the flagship scale-0).  Round 3: the
+    fused cells carry a custom VJP, so gradient consumers
+    (trainer.precompute_x) may set this too."""
     combs = params["state_combination_events" if modality == "events"
                    else "state_combination_images"]
     if cfg.state_combination == "convlstm":
@@ -377,6 +388,21 @@ def combine_hside(params, cfg: ModelConfig, supers: Tuple, gx_scales,
                  for c, g, s in zip(combs, gx_scales, supers))
 
 
+def _use_fused_decoder(cfg: ModelConfig, x, cout: int) -> bool:
+    """cfg.fused_decoder policy for one upsample-conv layer (the fused
+    Pallas upsample+5x5 kernel, ops/upsample_conv.py)."""
+    mode = getattr(cfg, "fused_decoder", "auto")
+    if mode == "off":
+        return False
+    from ..ops import upsample_conv
+    if not upsample_conv.supports(x, cout):
+        return False
+    if mode == "on":
+        return True
+    # auto: single-device TPU only (kernels ignore shardings)
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
 def supers_decoder_view(cfg: ModelConfig, supers: Tuple) -> Tuple:
     """decoder_view on a bare supers tuple (hidden parts only)."""
     return tuple(_super_hidden(cfg, s) for s in supers)
@@ -391,7 +417,7 @@ def decoder_view(cfg: ModelConfig, state: StateNetState) -> Tuple:
 
 
 def forward_decoder(params, cfg: ModelConfig, state: StateNetState,
-                    norm_ctx=None):
+                    norm_ctx=None, allow_fused: bool = False):
     """Shared decoder over the current super states (statenet.py:290-315).
 
     First decoder consumes the deepest super state (no skip); subsequent
@@ -399,21 +425,36 @@ def forward_decoder(params, cfg: ModelConfig, state: StateNetState,
     activation (sigmoid), NO head skip.
     """
     return forward_decoder_supers(params, cfg, decoder_view(cfg, state),
-                                  norm_ctx=norm_ctx)
+                                  norm_ctx=norm_ctx, allow_fused=allow_fused)
 
 
 def forward_decoder_supers(params, cfg: ModelConfig, supers: Tuple,
-                           norm_ctx=None):
+                           norm_ctx=None, allow_fused: bool = False):
     """forward_decoder on a pre-extracted `decoder_view` tuple (per-scale
-    hidden tensors)."""
+    hidden tensors).
+
+    allow_fused: permit the fused Pallas upsample+5x5-conv decoder kernel
+    (ops/upsample_conv.py; INFERENCE paths only — it defines no VJP) for
+    norm-free sum/no_skip upsample-conv layers; cfg.fused_decoder policy +
+    shape support gate per layer."""
     x = supers[-1]
     for ri, rb in enumerate(params["resblocks"]):
         x = L.residual_block_apply(rb, x, cfg.norm,
                                    ctx=norm_ctx, path=f"resblocks.{ri}")
     n = cfg.num_encoders
+    fuse_layers = (allow_fused and cfg.use_upsample_conv
+                   and not cfg.fast_upsample and cfg.norm is None
+                   and cfg.skip_type in ("sum", "no_skip"))
     for i, dec in enumerate(params["decoders"]):
-        if i > 0:
-            x = _skip(cfg, x, supers[n - i - 1])
+        skip_t = supers[n - i - 1] if i > 0 else None
+        if fuse_layers and _use_fused_decoder(
+                cfg, x, dec["conv2d"]["weight"].shape[-1]):
+            from ..ops.upsample_conv import upsample_conv_fused
+            sk = skip_t if cfg.skip_type == "sum" else None
+            x = upsample_conv_fused(dec, x, skip=sk, activation="relu")
+            continue
+        if skip_t is not None:
+            x = _skip(cfg, x, skip_t)
         if cfg.use_upsample_conv:
             if cfg.fast_upsample:
                 x = L.upsample_conv_layer_fast_apply(

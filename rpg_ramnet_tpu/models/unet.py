@@ -50,12 +50,16 @@ def _skip(cfg: ModelConfig, x1, x2):
     return x1
 
 
-def forward(params, cfg: ModelConfig, x, norm_ctx=None):
+def forward(params, cfg: ModelConfig, x, norm_ctx=None,
+            input_layout: str = "NHWC"):
     """x: [N, H, W, num_bins_rgb] -> [N, H, W, 1] in [0, 1].
-    norm_ctx: layers.NormCtx for training-mode BN/IN (None = eval)."""
+    norm_ctx: layers.NormCtx for training-mode BN/IN (None = eval).
+    input_layout='NCHW' lets the head conv absorb a channel-first input
+    (the chunked drivers' TPU-friendly '*_tcf' packing) transpose-free."""
     from .statenet import compute_dtype
     x = x.astype(compute_dtype(cfg))
-    x = L.conv_layer_apply(params["head"], x, 1, 2, "relu", None)
+    x = L.conv_layer_apply(params["head"], x, 1, 2, "relu", None,
+                           input_layout=input_layout)
     head = x
     blocks = []
     for ei, enc in enumerate(params["encoders"]):

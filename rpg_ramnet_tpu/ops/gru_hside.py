@@ -31,6 +31,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+# Test hook: when True, the public cells run their kernels in interpret
+# mode (plain jax-ops evaluation — composes with remat/grad, unlike
+# pltpu.force_tpu_interpret_mode whose ordered-callback effect does not).
+_INTERPRET = False
+
 
 def _conv9(src, w3, rows_out, C):
     """3x3 'same' conv as 3 full-width MXU dots.  src [R, W, C] carries a
@@ -60,8 +65,10 @@ def _conv9(src, w3, rows_out, C):
     return acc
 
 
-def _kernel(h_prev, h_cur, h_next, gxz, gxr_prev, gxr_cur, gxr_next, gxo,
-            w_ur, w_o, out_ref, *, tile_h: int, H: int, W: int, C: int):
+def _gru_cell_math(h_prev, h_cur, h_next, gxz, gxr_prev, gxr_cur, gxr_next,
+                   gxo, w_ur, w_o, *, tile_h: int, H: int, W: int, C: int):
+    """Shared body of the plain and residual GRU kernels: returns
+    (h_new, z, r_center, out_g), all f32 except h_new (input dtype)."""
     i = pl.program_id(1)
     dt = h_cur.dtype
 
@@ -88,7 +95,30 @@ def _kernel(h_prev, h_cur, h_next, gxz, gxr_prev, gxr_cur, gxr_next, gxo,
                      + gxo[0].astype(jnp.float32))
 
     h_int = hb[2:tile_h + 2].astype(jnp.float32)
-    out_ref[0] = (h_int * (1.0 - z) + out_g * z).astype(dt)
+    h_new = (h_int * (1.0 - z) + out_g * z).astype(dt)
+    return h_new, z, r[1:tile_h + 1], out_g
+
+
+def _kernel(h_prev, h_cur, h_next, gxz, gxr_prev, gxr_cur, gxr_next, gxo,
+            w_ur, w_o, out_ref, *, tile_h: int, H: int, W: int, C: int):
+    h_new, _, _, _ = _gru_cell_math(
+        h_prev, h_cur, h_next, gxz, gxr_prev, gxr_cur, gxr_next, gxo,
+        w_ur, w_o, tile_h=tile_h, H=H, W=W, C=C)
+    out_ref[0] = h_new
+
+
+def _kernel_res(h_prev, h_cur, h_next, gxz, gxr_prev, gxr_cur, gxr_next, gxo,
+                w_ur, w_o, out_ref, acts_ref, *, tile_h: int, H: int, W: int,
+                C: int):
+    """Residual variant for the custom VJP: also writes the gate
+    activations acts = concat(z, r, out_g) the backward needs (recomputing
+    them in bwd would cost an unfused forward)."""
+    h_new, z, r_c, out_g = _gru_cell_math(
+        h_prev, h_cur, h_next, gxz, gxr_prev, gxr_cur, gxr_next, gxo,
+        w_ur, w_o, tile_h=tile_h, H=H, W=W, C=C)
+    out_ref[0] = h_new
+    acts_ref[0] = jnp.concatenate([z, r_c, out_g], axis=-1).astype(
+        h_new.dtype)
 
 
 def _pick_tile_h(H: int, W: int, C: int, esize: int,
@@ -120,32 +150,45 @@ def supports(prev_state, lstm: bool = False) -> bool:
             and W % 8 == 0 and C % 8 == 0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
-def _run(h, gxz, gxr, gxo, w_ur, w_o, tile_h, interpret=False):
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret",
+                                             "residuals"))
+def _run(h, gxz, gxr, gxo, w_ur, w_o, tile_h, interpret=False,
+         residuals=False):
     B, H, W, C = h.shape
     n = H // tile_h
-    blk = lambda fm: pl.BlockSpec((1, tile_h, W, C), fm)  # noqa: E731
+    blk = lambda fm, ch=C: pl.BlockSpec((1, tile_h, W, ch), fm)  # noqa: E731
     cur = blk(lambda b, i: (b, i, 0, 0))
     prv = blk(lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0))
     nxt = blk(lambda b, i: (b, jnp.minimum(i + 1, n - 1), 0, 0))
     wspec_ur = pl.BlockSpec((3, 3 * C, 2 * C), lambda b, i: (0, 0, 0))
     wspec_o = pl.BlockSpec((3, 3 * C, C), lambda b, i: (0, 0, 0))
+    if residuals:
+        kern = _kernel_res
+        out_shape = (jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
+                     jax.ShapeDtypeStruct((B, H, W, 3 * C), h.dtype))
+        out_specs = (cur, blk(lambda b, i: (b, i, 0, 0), 3 * C))
+    else:
+        kern = _kernel
+        out_shape = jax.ShapeDtypeStruct((B, H, W, C), h.dtype)
+        out_specs = cur
     return pl.pallas_call(
-        functools.partial(_kernel, tile_h=tile_h, H=H, W=W, C=C),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
+        functools.partial(kern, tile_h=tile_h, H=H, W=W, C=C),
+        out_shape=out_shape,
         grid=(B, n),
         in_specs=[prv, cur, nxt,          # h
                   cur,                    # gx_z
                   prv, cur, nxt,          # gx_r
                   cur,                    # gx_o
                   wspec_ur, wspec_o],
-        out_specs=cur,
+        out_specs=out_specs,
         interpret=interpret,
     )(h, h, h, gxz, gxr, gxr, gxr, gxo, w_ur, w_o)
 
 
-def _lstm_kernel(h_prev, h_cur, h_next, c_cur, gx_cur, w4, hid_ref, cell_ref,
-                 *, tile_h: int, H: int, W: int, C: int):
+def _lstm_cell_math(h_prev, h_cur, h_next, c_cur, gx_cur, w4, *, tile_h: int,
+                    H: int, W: int, C: int):
+    """Shared body of the plain and residual LSTM kernels: returns
+    (hidden, cell, acts) with acts = concat(in, rem, out, cell_g) f32."""
     i = pl.program_id(1)
     dt = h_cur.dtype
 
@@ -162,12 +205,32 @@ def _lstm_kernel(h_prev, h_cur, h_next, c_cur, gx_cur, w4, hid_ref, cell_ref,
     out_g = jax.nn.sigmoid(gates[..., 2 * C:3 * C])
     cell_g = jnp.tanh(gates[..., 3 * C:])
     cell = rem_g * c_cur[0].astype(jnp.float32) + in_g * cell_g
-    hid_ref[0] = (out_g * jnp.tanh(cell)).astype(dt)
-    cell_ref[0] = cell.astype(dt)
+    hid = (out_g * jnp.tanh(cell)).astype(dt)
+    acts = jnp.concatenate([in_g, rem_g, out_g, cell_g], axis=-1)
+    return hid, cell.astype(dt), acts
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
-def _run_lstm(h, c, gx, w4, tile_h, interpret=False):
+def _lstm_kernel(h_prev, h_cur, h_next, c_cur, gx_cur, w4, hid_ref, cell_ref,
+                 *, tile_h: int, H: int, W: int, C: int):
+    hid, cell, _ = _lstm_cell_math(h_prev, h_cur, h_next, c_cur, gx_cur, w4,
+                                   tile_h=tile_h, H=H, W=W, C=C)
+    hid_ref[0] = hid
+    cell_ref[0] = cell
+
+
+def _lstm_kernel_res(h_prev, h_cur, h_next, c_cur, gx_cur, w4, hid_ref,
+                     cell_ref, acts_ref, *, tile_h: int, H: int, W: int,
+                     C: int):
+    hid, cell, acts = _lstm_cell_math(h_prev, h_cur, h_next, c_cur, gx_cur,
+                                      w4, tile_h=tile_h, H=H, W=W, C=C)
+    hid_ref[0] = hid
+    cell_ref[0] = cell
+    acts_ref[0] = acts.astype(hid.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret",
+                                             "residuals"))
+def _run_lstm(h, c, gx, w4, tile_h, interpret=False, residuals=False):
     B, H, W, C = h.shape
     n = H // tile_h
     blk = lambda fm, ch=C: pl.BlockSpec((1, tile_h, W, ch), fm)  # noqa: E731
@@ -177,14 +240,208 @@ def _run_lstm(h, c, gx, w4, tile_h, interpret=False):
     gspec = blk(lambda b, i: (b, i, 0, 0), 4 * C)
     wspec = pl.BlockSpec((3, 3 * C, 4 * C), lambda b, i: (0, 0, 0))
     shp = jax.ShapeDtypeStruct((B, H, W, C), h.dtype)
+    if residuals:
+        kern = _lstm_kernel_res
+        out_shape = (shp, shp,
+                     jax.ShapeDtypeStruct((B, H, W, 4 * C), h.dtype))
+        out_specs = (cur, cur, gspec)
+    else:
+        kern = _lstm_kernel
+        out_shape = (shp, shp)
+        out_specs = (cur, cur)
     return pl.pallas_call(
-        functools.partial(_lstm_kernel, tile_h=tile_h, H=H, W=W, C=C),
-        out_shape=(shp, shp),
+        functools.partial(kern, tile_h=tile_h, H=H, W=W, C=C),
+        out_shape=out_shape,
         grid=(B, n),
         in_specs=[prv, cur, nxt, cur, gspec, wspec],
-        out_specs=(cur, cur),
+        out_specs=out_specs,
         interpret=interpret,
     )(h, h, h, c, gx, w4)
+
+
+# ---------------------------------------------------------------------------
+# custom VJP (round 3): the fused cells are differentiable, so TRAINING —
+# the lowest-MFU axis — can run them on its sequential critical path.
+# Forward = the Pallas kernel (residual variant saves the gate activations);
+# backward = XLA transpose convs + elementwise on tensors that already sit
+# at layout boundaries.  Reference semantics being differentiated:
+# RAM_Net/model/submodules.py:414-454 (ConvGRU) / :303-358 (ConvLSTM).
+# ---------------------------------------------------------------------------
+
+
+def _dconv_x(ds, w):
+    """Cotangent of conv2d(x, w, 3x3 'same' stride-1) wrt x: correlate the
+    output cotangent with the spatially-flipped, in/out-swapped kernel.
+    f32 accumulation."""
+    return jax.lax.conv_general_dilated(
+        ds, jnp.flip(w, (0, 1)).swapaxes(2, 3).astype(ds.dtype),
+        (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _dconv_w(x, ds):
+    """Cotangent wrt the HWIO weights of conv2d(x, w, 3x3 'same'):
+    a conv contracting over batch AND spatial dims — lhs batch rides the
+    feature ('C') slot, input channels ride the batch ('N') slot, and the
+    output cotangent acts as an HxW kernel.  Output [3, 3, Cin, Cout]."""
+    return jax.lax.conv_general_dilated(
+        x, ds.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("CHWN", "IHWO", "HWNC"),
+        preferred_element_type=jnp.float32)
+
+
+def _fold3(w):
+    """HWIO [3, 3, Cin, O] -> [3(dx), 3*Cin(dy-concat), O] for _conv9."""
+    return jnp.stack([jnp.concatenate([w[dy, dx] for dy in range(3)],
+                                      axis=0) for dx in range(3)])
+
+
+def _zero_like_tree(p):
+    return jax.tree_util.tree_map(jnp.zeros_like, p)
+
+
+def _scatter_hside_wgrad(w_full, dw_h, C):
+    """Place the h-slice weight grad into a full-[.., Cx+C, O] zero grad
+    (the x-slice + bias grads flow through conv_*_x_gates instead)."""
+    cx = w_full.shape[2] - C
+    zeros_x = jnp.zeros(w_full.shape[:2] + (cx,) + w_full.shape[3:],
+                        w_full.dtype)
+    return jnp.concatenate([zeros_x, dw_h.astype(w_full.dtype)], axis=2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gru_hside_cell(tile_h, interpret, p, gx, prev_state):
+    C = prev_state.shape[-1]
+    dt = prev_state.dtype
+    w_ur = _fold3(jnp.concatenate(
+        [p["update_gate"]["weight"][:, :, -C:],
+         p["reset_gate"]["weight"][:, :, -C:]], axis=-1)).astype(dt)
+    w_o = _fold3(p["out_gate"]["weight"][:, :, -C:]).astype(dt)
+    return _run(prev_state, gx[..., :C], gx[..., C:2 * C], gx[..., 2 * C:],
+                w_ur, w_o, tile_h, interpret)
+
+
+def _gru_hside_fwd(tile_h, interpret, p, gx, prev_state):
+    C = prev_state.shape[-1]
+    dt = prev_state.dtype
+    w_ur = _fold3(jnp.concatenate(
+        [p["update_gate"]["weight"][:, :, -C:],
+         p["reset_gate"]["weight"][:, :, -C:]], axis=-1)).astype(dt)
+    w_o = _fold3(p["out_gate"]["weight"][:, :, -C:]).astype(dt)
+    h_new, acts = _run(prev_state, gx[..., :C], gx[..., C:2 * C],
+                       gx[..., 2 * C:], w_ur, w_o, tile_h, interpret,
+                       residuals=True)
+    return h_new, (p, gx, prev_state, acts)
+
+
+def _gru_hside_bwd(tile_h, interpret, res, g):
+    """Hand-derived ConvGRU h-side backward.  Forward:
+        z = sig(conv(h,Wz) + gxz); r = sig(conv(h,Wr) + gxr)
+        o = tanh(conv(r*h, Wo) + gxo); h' = h*(1-z) + o*z
+    acts from the kernel: concat(z, r, o)."""
+    p, gx, h, acts = res
+    C = h.shape[-1]
+    dt = h.dtype
+    f32 = jnp.float32
+    z = acts[..., :C].astype(f32)
+    r = acts[..., C:2 * C].astype(f32)
+    o = acts[..., 2 * C:].astype(f32)
+    hf = h.astype(f32)
+    gf = g.astype(f32)
+
+    dh = gf * (1.0 - z)
+    dz = gf * (o - hf)
+    dpre_o = (gf * z) * (1.0 - o * o)
+    dpre_z = dz * z * (1.0 - z)
+
+    wh_ur = jnp.concatenate([p["update_gate"]["weight"][:, :, -C:],
+                             p["reset_gate"]["weight"][:, :, -C:]],
+                            axis=-1)
+    wh_o = p["out_gate"]["weight"][:, :, -C:]
+
+    ds_o = dpre_o.astype(dt)
+    da = _dconv_x(ds_o, wh_o)
+    a = (r * hf).astype(dt)
+    dwh_o = _dconv_w(a, ds_o)
+    dr = da * hf
+    dh = dh + da * r
+    dpre_r = dr * r * (1.0 - r)
+    ds_ur = jnp.concatenate([dpre_z, dpre_r], axis=-1).astype(dt)
+    dh = dh + _dconv_x(ds_ur, wh_ur)
+    dwh_ur = _dconv_w(h, ds_ur)
+
+    dgx = jnp.concatenate([dpre_z, dpre_r, dpre_o], axis=-1).astype(gx.dtype)
+    dp = _zero_like_tree(p)
+    dp["update_gate"]["weight"] = _scatter_hside_wgrad(
+        p["update_gate"]["weight"], dwh_ur[..., :C], C)
+    dp["reset_gate"]["weight"] = _scatter_hside_wgrad(
+        p["reset_gate"]["weight"], dwh_ur[..., C:], C)
+    dp["out_gate"]["weight"] = _scatter_hside_wgrad(
+        p["out_gate"]["weight"], dwh_o, C)
+    return dp, dgx, dh.astype(dt)
+
+
+_gru_hside_cell.defvjp(_gru_hside_fwd, _gru_hside_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _lstm_hside_cell(tile_h, interpret, p, gx, prev_hidden, prev_cell):
+    C = prev_hidden.shape[-1]
+    dt = prev_hidden.dtype
+    w4 = _fold3(p["Gates"]["weight"][:, :, -C:]).astype(dt)
+    return _run_lstm(prev_hidden, prev_cell, gx, w4, tile_h, interpret)
+
+
+def _lstm_hside_fwd(tile_h, interpret, p, gx, prev_hidden, prev_cell):
+    C = prev_hidden.shape[-1]
+    dt = prev_hidden.dtype
+    w4 = _fold3(p["Gates"]["weight"][:, :, -C:]).astype(dt)
+    hid, cell, acts = _run_lstm(prev_hidden, prev_cell, gx, w4, tile_h,
+                                interpret, residuals=True)
+    return (hid, cell), (p, gx, prev_hidden, prev_cell, cell, acts)
+
+
+def _lstm_hside_bwd(tile_h, interpret, res, g):
+    """Hand-derived ConvLSTM h-side backward.  Forward:
+        (i,f,o,u) = acts(conv(h,W4) + gx); c' = f*c + i*u; h' = o*tanh(c')
+    acts from the kernel: concat(i, f, o, u)."""
+    p, gx, h, c, cell_new, acts = res
+    gh, gc = g
+    C = h.shape[-1]
+    dt = h.dtype
+    f32 = jnp.float32
+    i_g = acts[..., :C].astype(f32)
+    f_g = acts[..., C:2 * C].astype(f32)
+    o_g = acts[..., 2 * C:3 * C].astype(f32)
+    u_g = acts[..., 3 * C:].astype(f32)
+    cf = c.astype(f32)
+    t = jnp.tanh(cell_new.astype(f32))
+    ghf = gh.astype(f32)
+    gcf = gc.astype(f32)
+
+    do = ghf * t
+    dcn = ghf * o_g * (1.0 - t * t) + gcf
+    dg = jnp.concatenate([
+        (dcn * u_g) * i_g * (1.0 - i_g),
+        (dcn * cf) * f_g * (1.0 - f_g),
+        do * o_g * (1.0 - o_g),
+        (dcn * i_g) * (1.0 - u_g * u_g)], axis=-1)
+
+    w_h = p["Gates"]["weight"][:, :, -C:]
+    ds = dg.astype(dt)
+    dh = _dconv_x(ds, w_h)
+    dw_h = _dconv_w(h, ds)
+    dc = dcn * f_g
+
+    dgx = dg.astype(gx.dtype)
+    dp = _zero_like_tree(p)
+    dp["Gates"]["weight"] = _scatter_hside_wgrad(p["Gates"]["weight"],
+                                                 dw_h, C)
+    return dp, dgx, dh.astype(dt), dc.astype(dt)
+
+
+_lstm_hside_cell.defvjp(_lstm_hside_fwd, _lstm_hside_bwd)
 
 
 def conv_lstm_hside_fused(p, gx, state, tile_h: int = 0,
@@ -193,17 +450,17 @@ def conv_lstm_hside_fused(p, gx, state, tile_h: int = 0,
     h-side completion as ONE Pallas pass (single conv on h, no reset-gate
     halo chain — simpler than the GRU cell).  state = (hidden, cell);
     gx = conv_lstm_x_gates(p, x), gate order (in, remember, out, cell) as
-    the reference's fused 'Gates' conv (submodules.py:303-358)."""
+    the reference's fused 'Gates' conv (submodules.py:303-358).
+    DIFFERENTIABLE (round 3): custom VJP — jax.grad through this matches
+    the unfused path."""
+    interpret = interpret or _INTERPRET
     prev_hidden, prev_cell = state
     C = prev_hidden.shape[-1]
     dt = prev_hidden.dtype
     th = tile_h or _pick_tile_h(prev_hidden.shape[1], prev_hidden.shape[2],
                                 C, 2 if dt == jnp.bfloat16 else 4,
                                 budget=256 * 1024)
-    w = p["Gates"]["weight"][:, :, -C:]          # HWIO [3, 3, C, 4C]
-    w4 = jnp.stack([jnp.concatenate([w[dy, dx] for dy in range(3)], axis=0)
-                    for dx in range(3)]).astype(dt)     # [3, 3C, 4C]
-    return _run_lstm(prev_hidden, prev_cell, gx, w4, th, interpret)
+    return _lstm_hside_cell(th, interpret, p, gx, prev_hidden, prev_cell)
 
 
 def _full_kernel(x_prev, x_cur, x_next, h_prev, h_cur, h_next, b_ur, b_o,
@@ -269,6 +526,7 @@ def conv_gru_full_fused(p, x, prev_state, tile_h: int = 0,
     folds to a K=6C contraction (384 at the flagship scale-0: full MXU
     fill).  f32-accumulated gates; bf16 only (supports(..., lstm=True)
     budget — the 6C temps match the LSTM cell's footprint)."""
+    interpret = interpret or _INTERPRET
     C = prev_state.shape[-1]
     dt = prev_state.dtype
     th = tile_h or _pick_tile_h(prev_state.shape[1], prev_state.shape[2], C,
@@ -299,19 +557,13 @@ def conv_gru_hside_fused(p, gx, prev_state, tile_h: int = 0,
     (update, reset, out) order with biases folded in; prev_state
     [B, H, W, C].  Accumulates the convs in f32 (vs the XLA path's
     conv-native accumulation) — outputs agree to normal float tolerance.
-    """
+    DIFFERENTIABLE (round 3): custom VJP — jax.grad through this matches
+    the unfused path, so training's sequential critical path can run the
+    fused kernel too (h-side weight grads from the op; x-slice weight and
+    bias grads flow through conv_gru_x_gates)."""
+    interpret = interpret or _INTERPRET
     C = prev_state.shape[-1]
     dt = prev_state.dtype
     th = tile_h or _pick_tile_h(prev_state.shape[1], prev_state.shape[2], C,
                                 2 if dt == jnp.bfloat16 else 4)
-
-    def prep(w):  # HWIO [3, 3, C, out] -> [3(dx), 3C(dy-concat), out]
-        return jnp.stack([jnp.concatenate([w[dy, dx] for dy in range(3)],
-                                          axis=0) for dx in range(3)])
-
-    w_ur = prep(jnp.concatenate(
-        [p["update_gate"]["weight"][:, :, -C:],
-         p["reset_gate"]["weight"][:, :, -C:]], axis=-1)).astype(dt)
-    w_o = prep(p["out_gate"]["weight"][:, :, -C:]).astype(dt)
-    return _run(prev_state, gx[..., :C], gx[..., C:2 * C], gx[..., 2 * C:],
-                w_ur, w_o, th, interpret)
+    return _gru_hside_cell(th, interpret, p, gx, prev_state)

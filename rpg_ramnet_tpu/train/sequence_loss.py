@@ -178,9 +178,14 @@ def make_sequence_loss(cfg: Config, remat: bool = False,
             # better MXU fill on the narrow-channel decoder convs AND no
             # decoder recompute in the backward (losses identical,
             # tests/test_train.py)
+            # allow_fused with pre_x: the Pallas fused h-side cells have a
+            # custom VJP (round 3), so the sequential critical path of the
+            # TRAINING scan may run them; cfg.model.fused_gru policy +
+            # shape support still gate per scale (statenet._use_fused_cell)
             _, preds = model.forward_sequence_batched_decode(
                 params, mcfg, state0, seq_in, decode_keys=keys, remat=remat,
-                squeeze_preds=True, package_precompute=pre_x)
+                squeeze_preds=True, package_precompute=pre_x,
+                allow_fused=pre_x)
         else:
             _, preds = model.forward_sequence(params, mcfg, state0, seq_in,
                                               decode_keys=keys, remat=remat,

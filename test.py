@@ -36,8 +36,18 @@ def main():
                         help="offline chunked streaming: process each "
                              "sequence N packages per jitted program with "
                              "all decodes deferred into one batched decoder "
-                             "pass (identical outputs, best single-stream "
-                             "throughput; 0 = per-package streaming)")
+                             "pass (best single-stream throughput; 0 = "
+                             "per-package streaming).  Outputs identical to "
+                             "per-package streaming, EXCEPT on bfloat16 "
+                             "configs where --precompute_x auto-enables the "
+                             "x-side hoist (~1 ulp, not bitwise; pass "
+                             "--precompute_x off for bit-exact runs)")
+    parser.add_argument("--precompute_x", choices=("auto", "on", "off"),
+                        default="auto",
+                        help="x-side GRU precompute for --scan_chunk: 'auto' "
+                             "= on only where measured faster (bf16 "
+                             "flagship configs); 'off' forces the bit-exact "
+                             "deferred-decode path; 'on' forces the hoist")
     parser.add_argument("--decode_keys", type=str, default="",
                         help="comma list restricting decoded predictions "
                              "(e.g. 'image'; default: all, like the reference)")
@@ -148,6 +158,7 @@ def main():
             scales[idx] = optimal_scale(img[..., 0], gt[..., 0],
                                         reg_factor, clip_distance)
 
+    precompute_x = {"auto": None, "on": True, "off": False}[args.precompute_x]
     if args.lanes > 1 and args.scan_chunk > 0:
         # lanes x chunk: round-robin sequences over lanes AND scan
         # scan_chunk packages per dispatch with one batched decoder pass
@@ -158,7 +169,8 @@ def main():
                                       n_lanes=args.lanes,
                                       chunk=args.scan_chunk,
                                       on_prediction=handle,
-                                      decode_keys=decode_keys)
+                                      decode_keys=decode_keys,
+                                      precompute_x=precompute_x)
     elif args.lanes > 1:
         # lane-batched multi-sequence streaming: identical per-sequence
         # outputs at n_lanes x the throughput
@@ -172,7 +184,8 @@ def main():
         from rpg_ramnet_tpu.eval.inference import run_chunked_streaming
         run_chunked_streaming(dataset, params, cfg.model, cfg.arch,
                               chunk=args.scan_chunk, on_prediction=handle,
-                              decode_keys=decode_keys)
+                              decode_keys=decode_keys,
+                              precompute_x=precompute_x)
     else:
         # one-item host prefetch: dataset IO overlaps device compute
         from concurrent.futures import ThreadPoolExecutor

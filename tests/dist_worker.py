@@ -49,8 +49,11 @@ def main():
     coordinator, num_procs, pid, data_root, out_json = sys.argv[1:6]
     num_procs, pid = int(num_procs), int(pid)
     if num_procs > 1:
+        # generous init timeout: on a loaded 1-core rig the sibling worker
+        # can be starved for minutes before it reaches the coordinator
         jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_procs, process_id=pid)
+                                   num_processes=num_procs, process_id=pid,
+                                   initialization_timeout=600)
     assert jax.process_count() == num_procs
     assert len(jax.devices()) == 4 * num_procs
 

@@ -484,3 +484,48 @@ def test_sequence_precomputed_convlstm_combination(test_split):
     for k in p_ref:
         np.testing.assert_allclose(np.asarray(p_pkg[k]), np.asarray(p_ref[k]),
                                    atol=1e-5, rtol=1e-5, err_msg=k)
+
+
+def test_chunked_streaming_stateless_arch(test_split):
+    """The chunked drivers' fallback for stateless archs (ERGB2Depth) must
+    actually run: they pack only '*_tcf' (time-leading channel-first) keys,
+    which ERGB2Depth.forward_sequence now consumes directly (round-2 advice:
+    this path raised KeyError('image')).  Outputs must equal per-item
+    forward_package."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.eval.inference import (run_chunked_streaming,
+                                               run_batched_chunked_streaming)
+    from rpg_ramnet_tpu.models.model import ERGB2Depth
+    cfg = tiny_config(every_x_rgb_frame=3)
+    mcfg = cfg.model
+    params = ERGB2Depth.init_params(jax.random.PRNGKey(7), mcfg)
+    dataset = concatenate_subfolders(
+        test_split, "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+        "depth/data", "rgb/data", sequence_length=1, step_size=1,
+        clip_distance=80.0, every_x_rgb_frame=3, reg_factor=3.70378,
+        transform=CenterCrop(32))
+
+    ref = {}
+    for idx in range(len(dataset)):
+        item, _ = dataset[idx]
+        _, preds = ERGB2Depth.forward_package(
+            params, mcfg, (), {"image": jnp.asarray(item["image"])})
+        ref[idx] = np.asarray(preds["image"][0])
+
+    got = {}
+    run_chunked_streaming(
+        dataset, params, mcfg, arch="ERGB2Depth", chunk=4,
+        on_prediction=lambda gidx, preds, item, seq_pos: got.__setitem__(
+            gidx, preds["image"]))
+    assert set(got) == set(ref)
+    for idx in ref:
+        np.testing.assert_allclose(got[idx], ref[idx], atol=1e-5, rtol=1e-5)
+
+    got2 = {}
+    run_batched_chunked_streaming(
+        dataset, params, mcfg, arch="ERGB2Depth", n_lanes=2, chunk=3,
+        on_prediction=lambda gidx, preds, item, seq_pos: got2.__setitem__(
+            gidx, preds["image"]))
+    assert set(got2) == set(ref)
+    for idx in ref:
+        np.testing.assert_allclose(got2[idx], ref[idx], atol=1e-5, rtol=1e-5)

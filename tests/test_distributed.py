@@ -37,8 +37,25 @@ def launch(coordinator, num_procs, pid, data_root, out_json):
         text=True)
 
 
+@pytest.fixture
+def dist_lock():
+    """Serialize distributed runs machine-wide: the two subprocess workers
+    starve on this 1-core rig when anything heavy (another suite, a bench)
+    runs concurrently — an flock on a well-known path makes concurrent
+    sessions queue instead of timing out each other's coordination
+    handshake."""
+    import fcntl
+    f = open("/tmp/rpg_ramnet_tpu_dist_test.lock", "w")
+    fcntl.flock(f, fcntl.LOCK_EX)
+    try:
+        yield
+    finally:
+        fcntl.flock(f, fcntl.LOCK_UN)
+        f.close()
+
+
 @pytest.mark.slow
-def test_two_process_dp_equals_single_process(tmp_path):
+def test_two_process_dp_equals_single_process(tmp_path, dist_lock):
     from rpg_ramnet_tpu.data.synthetic import generate_split
     data_root = str(tmp_path / "split")
     generate_split(data_root, n_sequences=8, n_frames=10, height=32, width=48,
@@ -51,7 +68,7 @@ def test_two_process_dp_equals_single_process(tmp_path):
     procs = [launch(coord, 2, pid, data_root, out2) for pid in (0, 1)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
         assert p.returncode == 0, out[-3000:]
     r2 = json.load(open(out2))

@@ -312,3 +312,162 @@ def test_fused_gru_full_cell_matches_reference():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5,
                                    err_msg=str((B, H, W, C)))
+
+
+def test_full_fused_cell_gate_uses_lstm_budget():
+    """Regression (round-2 advice): forward_modality's full fused ConvGRU
+    cell gate must use the halved (lstm=True) VMEM budget that
+    conv_gru_full_fused picks its tile with.  At shapes where only the
+    h-side budget fits (e.g. 128x512x128 bf16), the mismatched gate
+    resolved tile_h=0 and crashed with ZeroDivisionError at trace time."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import statenet
+    from rpg_ramnet_tpu.ops import gru_hside
+    from test_train import tiny_config
+
+    h = jnp.zeros((1, 128, 512, 128), jnp.bfloat16)
+    # the mismatch: h-side budget admits the shape, full-cell budget doesn't
+    assert gru_hside.supports(h)
+    assert not gru_hside.supports(h, lstm=True)
+    cfg = tiny_config(num_encoders=1, base_num_channels=64,
+                      fused_gru="on", compute_dtype="bfloat16").model
+    assert not statenet._use_fused_cell(cfg, h, lstm=True)
+
+    # trace (no compute) the actual call site at that super-state shape:
+    # pre-fix this raised ZeroDivisionError inside conv_gru_full_fused
+    params = jax.eval_shape(
+        lambda k: statenet.init_params(k, cfg),
+        jax.random.PRNGKey(0))
+    state = jax.eval_shape(
+        lambda: statenet.init_state(cfg, 1, 256, 1024, jnp.bfloat16))
+    x = jax.ShapeDtypeStruct((1, 256, 1024, cfg.num_bins_events),
+                             jnp.bfloat16)
+    out = jax.eval_shape(
+        lambda p, xx, s: statenet.forward_modality(
+            p, cfg, xx, s, "events", allow_fused=True),
+        params, x, state)
+    assert out.super_states[0].shape == (1, 128, 512, 128)
+
+
+def test_fused_cells_custom_vjp_matches_unfused():
+    """jax.grad through the fused Pallas h-side cells (custom VJP, round 3)
+    must match the unfused XLA path — all cotangents: params (h-side weight
+    slices), gx, state (interpret mode, f32)."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import layers as L
+    from rpg_ramnet_tpu.ops.gru_hside import (conv_gru_hside_fused,
+                                              conv_lstm_hside_fused)
+
+    rng = np.random.RandomState(0)
+    B, H, W, C = 2, 16, 16, 16
+    p = L.conv_gru_init(jax.random.PRNGKey(0), C, C, 3, jnp.float32)
+    h = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    gx = L.conv_gru_x_gates(p, x)
+
+    def loss_ref(p, gx, h):
+        return jnp.sum(jnp.sin(L.conv_gru_apply_hside(p, gx, h)))
+
+    def loss_fused(p, gx, h):
+        return jnp.sum(jnp.sin(conv_gru_hside_fused(p, gx, h,
+                                                    interpret=True)))
+
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(p, gx, h)
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(p, gx, h)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=2e-5, rtol=1e-4),
+        ref, got)
+
+    pl_ = L.conv_lstm_init(jax.random.PRNGKey(1), C, C, 3, jnp.float32)
+    c = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    gxl = L.conv_lstm_x_gates(pl_, x)
+
+    def lloss_ref(p, gx, h, c):
+        hh, cc = L.conv_lstm_apply_hside(p, gx, (h, c))
+        return jnp.sum(jnp.sin(hh)) + jnp.sum(jnp.cos(cc))
+
+    def lloss_fused(p, gx, h, c):
+        hh, cc = conv_lstm_hside_fused(p, gx, (h, c), interpret=True)
+        return jnp.sum(jnp.sin(hh)) + jnp.sum(jnp.cos(cc))
+
+    ref = jax.grad(lloss_ref, argnums=(0, 1, 2, 3))(pl_, gxl, h, c)
+    got = jax.grad(lloss_fused, argnums=(0, 1, 2, 3))(pl_, gxl, h, c)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=2e-5, rtol=1e-4),
+        ref, got)
+
+
+def test_fused_upsample_conv_matches_reference():
+    """Pallas fused bilinear-2x-upsample + 5x5 conv (+skip +bias +relu)
+    decoder kernel (ops/upsample_conv.py, interpret mode) == the XLA
+    layer (layers.upsample_conv_layer_apply), including the resize's edge
+    clamp, the conv's zero padding at all four borders, and multi-tile
+    grids with halos."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import layers as L
+    from rpg_ramnet_tpu.ops.upsample_conv import (upsample_conv_fused,
+                                                  supports)
+
+    rng = np.random.RandomState(1)
+    for (B, H, W, C, Cout) in ((1, 16, 24, 8, 8), (2, 8, 8, 16, 8),
+                               (1, 32, 16, 8, 16)):
+        p = L.upsample_conv_layer_init(jax.random.PRNGKey(0), C, Cout, 5,
+                                       None, jnp.float32)
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        sk = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        ref = L.upsample_conv_layer_apply(p, x + sk, 2, "relu", None)
+        got = upsample_conv_fused(p, x, skip=sk, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=str((B, H, W, C, Cout)))
+        ref2 = L.upsample_conv_layer_apply(p, x, 2, "relu", None)
+        got2 = upsample_conv_fused(p, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                                   atol=1e-5, rtol=1e-5)
+    # hardware gate: bf16 only, shape-constrained
+    assert supports(jnp.zeros((1, 128, 256, 64), jnp.bfloat16), 32)
+    assert not supports(jnp.zeros((1, 128, 256, 64), jnp.float32), 32)
+    assert not supports(jnp.zeros((1, 9, 256, 64), jnp.bfloat16), 32)
+
+
+def test_fused_decoder_full_forward_matches():
+    """forward_decoder_supers with the fused Pallas decoder layers
+    (fused_decoder='on', interpret via the module hook) == the XLA decoder,
+    on the flagship-style norm-free sum-skip config."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import statenet
+    from rpg_ramnet_tpu.ops import upsample_conv
+    from test_train import tiny_config
+
+    cfg = tiny_config(fused_decoder="on").model
+    params = statenet.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(5)
+    B, H, W = 2, 32, 32  # both decoder layers pass the (patched) shape gate
+    supers = tuple(
+        jnp.asarray(rng.randn(B, H // (2 ** (i + 1)), W // (2 ** (i + 1)),
+                              cfg.base_num_channels * 2 ** (i + 1))
+                    .astype(np.float32))
+        for i in range(cfg.num_encoders))
+    ref = statenet.forward_decoder_supers(params, cfg, supers,
+                                          allow_fused=False)
+    # patch: interpret mode + admit f32 (hardware gate is bf16-only)
+    orig_supports, orig_int = upsample_conv.supports, upsample_conv._INTERPRET
+    upsample_conv._INTERPRET = True
+    upsample_conv.supports = lambda x, cout: (
+        x.ndim == 4 and upsample_conv._pick_tile_h(
+            x.shape[1], x.shape[2], x.shape[3], cout, 4) > 0
+        and x.shape[2] % 8 == 0)
+    try:
+        got = statenet.forward_decoder_supers(params, cfg, supers,
+                                              allow_fused=True)
+    finally:
+        upsample_conv.supports, upsample_conv._INTERPRET = (orig_supports,
+                                                            orig_int)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -373,3 +373,99 @@ def test_dp_mesh_deferred_decode_equals_single_device():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 atol=1e-5, rtol=1e-4),
         p1, p2)
+
+
+def test_deferred_decode_bn_training_warns_and_falls_back():
+    """trainer.deferred_decode under training-mode BN must WARN (round-2
+    verdict: users of the flagship config with norm enabled silently lost
+    the deferral) and fall back to the in-scan decode path — loss identical
+    to the same config without deferred_decode."""
+    import warnings
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+    from rpg_ramnet_tpu.core.config import Config
+    raw = tiny_config().raw
+    raw_bn = {**raw, "model": {**raw["model"], "norm": "BN"}}
+    cfg_def = Config.from_dict({**raw_bn,
+                                "trainer": {**raw_bn["trainer"],
+                                            "deferred_decode": True}})
+    cfg_ref = Config.from_dict(raw_bn)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        loss_def = make_sequence_loss(cfg_def, remat=True, training=True)
+    assert any("deferred_decode is incompatible with training-mode"
+               in str(x.message) for x in w)
+    loss_ref = make_sequence_loss(cfg_ref, remat=True, training=True)
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0),
+                                             cfg_def.model)
+    rng = np.random.RandomState(3)
+    B, L, K, H, W = 2, 2, 3, 16, 16
+    batch = {"events": jnp.asarray(rng.randn(B, L, K, H, W, 5).astype(np.float32)),
+             "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+             "depth_events": jnp.asarray(rng.rand(B, L, K, H, W, 1).astype(np.float32)),
+             "depth_image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32))}
+    state0 = ERGB2DepthRecurrent.init_state(cfg_def.model, B, H, W)
+    l_def, aux_def = loss_def(params, state0, batch)
+    l_ref, aux_ref = loss_ref(params, state0, batch)
+    assert abs(float(l_def) - float(l_ref)) < 1e-7
+    # the fallback really ran training-mode BN (running stats returned)
+    assert "norm_stats" in aux_def
+
+
+@pytest.mark.parametrize("comb", ["convgru", "convlstm"])
+def test_precompute_x_fused_training_grads_match(monkeypatch, comb):
+    """The FULL training path with the fused Pallas h-side cells on its
+    sequential critical path (trainer.precompute_x + fused_gru='on',
+    remat'd scan, custom VJP): loss and all gradients must match the
+    unfused path.  Kernels run via force_tpu_interpret_mode on CPU;
+    supports() is patched to admit f32 (hardware is bf16-only)."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+    from rpg_ramnet_tpu.core.config import Config
+    from rpg_ramnet_tpu.ops import gru_hside
+
+    real_pick = gru_hside._pick_tile_h
+
+    def fake_supports(prev_state, lstm=False):
+        if prev_state.ndim != 4:
+            return False
+        _, H, W, C = prev_state.shape
+        budget = 256 * 1024 if lstm else 512 * 1024
+        return (real_pick(H, W, C, 4, budget=budget) > 0
+                and W % 8 == 0 and C % 8 == 0)
+
+    monkeypatch.setattr(gru_hside, "supports", fake_supports)
+    # interpret mode via the module hook: plain pallas interpret evaluation
+    # composes with remat, unlike force_tpu_interpret_mode's ordered
+    # callback effect
+    monkeypatch.setattr(gru_hside, "_INTERPRET", True)
+
+    raw = tiny_config(state_combination=comb).raw
+    raw_def = {**raw, "trainer": {**raw["trainer"], "deferred_decode": True,
+                                  "precompute_x": True}}
+    cfg_unfused = Config.from_dict({**raw_def,
+                                    "model": {**raw_def["model"],
+                                              "fused_gru": "off"}})
+    cfg_fused = Config.from_dict({**raw_def,
+                                  "model": {**raw_def["model"],
+                                            "fused_gru": "on"}})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0),
+                                             cfg_fused.model)
+    rng = np.random.RandomState(0)
+    B, L, K, H, W = 2, 2, 3, 16, 16
+    batch = {"events": jnp.asarray(rng.randn(B, L, K, H, W, 5).astype(np.float32)),
+             "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+             "depth_events": jnp.asarray(rng.rand(B, L, K, H, W, 1).astype(np.float32)),
+             "depth_image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32))}
+    state0 = ERGB2DepthRecurrent.init_state(cfg_fused.model, B, H, W)
+    outs = {}
+    for name, cfg in (("unfused", cfg_unfused), ("fused", cfg_fused)):
+        loss_fn = make_sequence_loss(cfg, remat=True)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state0, batch)
+        outs[name] = (float(loss), grads)
+    assert abs(outs["unfused"][0] - outs["fused"][0]) < 1e-5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=5e-5, rtol=1e-3),
+        outs["unfused"][1], outs["fused"][1])
