@@ -77,10 +77,11 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
             pkg_i = {"events": pkg["events"] + eps, "image": pkg["image"] + eps}
             if batched_decode:
                 st, preds = ERGB2DepthRecurrent.forward_package_batched_decode(
-                    params, mcfg, st, pkg_i)
+                    params, mcfg, st, pkg_i, allow_fused_decoder=True)
             else:
                 st, preds = ERGB2DepthRecurrent.forward_package(
-                    params, mcfg, st, pkg_i, decode_keys=decode_keys)
+                    params, mcfg, st, pkg_i, decode_keys=decode_keys,
+                    allow_fused_decoder=True)
             # CONSUME the predictions: the recurrent state does not depend
             # on the decoder outputs, so without this XLA dead-code
             # eliminates every decode and the "fps" measures an
@@ -180,9 +181,12 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
                 st, preds = ERGB2DepthRecurrent.forward_sequence_precomputed(
                     params, mcfg, st, seq_i)
             else:
+                # allow_fused_decoder matches the inference engines
+                # (eval/inference.py): the fused Pallas decoder kernel on
+                # supported shapes (cfg.fused_decoder='auto')
                 st, preds = \
                     ERGB2DepthRecurrent.forward_sequence_batched_decode(
-                        params, mcfg, st, seq_i)
+                        params, mcfg, st, seq_i, allow_fused_decoder=True)
             # consume every prediction (decodes don't feed the state; see
             # the DCE note in bench_jax_fps)
             acc = acc + sum(jnp.sum(p.astype(jnp.float32))
@@ -318,6 +322,50 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
     return out
 
 
+def check_fused_parity(H=256, W=512, L=4, tol=0.05):
+    """HARDWARE guard for the Pallas kernels (run every bench): the shipped
+    bf16 flagship path (fused GRU cells + fused decoder, auto-enabled)
+    must agree with the all-XLA path on the same inputs.  A Mosaic/layout
+    regression fails the bench loudly instead of shipping wrong numbers.
+    Tolerance: the fused cells accumulate gates in f32 vs bf16-native XLA
+    (~1.5e-4/cell measured round 2); over L*(K+1) gated steps 0.05 bounds
+    the drift on [0,1] sigmoid outputs."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.core.config import ModelConfig
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent as M
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
+        "recurrent_block_type": "conv", "state_combination": "convgru",
+        "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
+        "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
+        "baseline": False, "compute_dtype": "bfloat16"})
+    off = dataclasses.replace(mcfg, fused_gru="off", fused_decoder="off")
+    params = M.init_params(jax.random.PRNGKey(0), mcfg)
+    st0 = M.init_state(mcfg, 1, H, W)
+    rng = np.random.RandomState(0)
+    seq = {"events_tcf": jnp.asarray(
+               rng.randn(L, 1, 5, 5, H, W).astype(np.float32)),
+           "image_tcf": jnp.asarray(
+               rng.rand(L, 1, 1, H, W).astype(np.float32))}
+    _, p_fused = jax.jit(lambda: M.forward_sequence_precomputed(
+        params, mcfg, st0, seq))()
+    _, p_plain = jax.jit(lambda: M.forward_sequence_precomputed(
+        params, off, st0, seq))()
+    worst = 0.0
+    for k in p_plain:
+        d = float(jnp.max(jnp.abs(p_fused[k].astype(jnp.float32)
+                                  - p_plain[k].astype(jnp.float32))))
+        worst = max(worst, d)
+    if worst > tol:
+        raise AssertionError(
+            f"fused-kernel parity FAILED on hardware: max diff {worst} > "
+            f"{tol} (fused GRU cells + fused decoder vs XLA)")
+    return worst
+
+
 def bench_torch_reference_fps(H=256, W=512, iters=3):
     """Reference PyTorch model on this host's CPU, same shapes/semantics."""
     import torch
@@ -422,8 +470,14 @@ def main():
         # tunnel (dynamic trip count: one compile regardless)
         single = bench_jax_fps(lanes=1, n_hi=42, with_costs=True,
                                batched_decode=True)
-        fps1 = single["fps"]
-        details["jax_fps_single_stream"] = fps1
+        # the headline is the best DEFAULT-ON single-stream configuration:
+        # every candidate below ships enabled (test.py --scan_chunk on the
+        # flagship configs; bf16 is the shipped TPU flagship recipe whose
+        # precompute + fused Pallas kernels auto-enable) — round-2 verdict:
+        # report the shipped path, keep f32 reference-semantics numbers in
+        # BENCH_DETAILS
+        fps_headline = single["fps"]
+        details["jax_fps_single_stream"] = single["fps"]
         details["single_stream_roofline"] = single
         try:
             # offline chunked mode (test.py --scan_chunk 16): the reference
@@ -433,23 +487,36 @@ def main():
             chunked = bench_chunked_fps(lanes=1, L=16, with_costs=True)
             details["jax_fps_single_stream_chunked"] = chunked["fps"]
             details["single_stream_chunked_roofline"] = chunked
-            fps1 = max(fps1, chunked["fps"])
+            fps_headline = max(fps_headline, chunked["fps"])
         except Exception as e:
             details["jax_fps_single_stream_chunked_error"] = str(e)[:300]
         try:
-            details["jax_fps_single_stream_chunked_bf16"] = bench_chunked_fps(
-                lanes=1, L=16, dtype="bfloat16")
+            bf16_chunked = bench_chunked_fps(lanes=1, L=16, dtype="bfloat16")
+            details["jax_fps_single_stream_chunked_bf16"] = bf16_chunked
+            fps_headline = max(fps_headline, bf16_chunked)
         except Exception as e:
             details["jax_fps_single_stream_chunked_bf16_error"] = str(e)[:300]
         try:
-            # + GRU x-side precompute (auto-enabled for bf16 inference):
-            # the bf16 single-stream record (PERF.md round-2: 697 maps/s)
+            # + GRU x-side precompute (auto-enabled for bf16 inference)
+            # + fused Pallas GRU cells and decoder (auto): THE SHIPPED
+            # bf16 flagship path (test.py --scan_chunk on the bf16 config)
+            # and since round 3 the headline number
+            rec = bench_chunked_fps(lanes=1, L=16, dtype="bfloat16",
+                                    precompute=True, with_costs=True)
             details["jax_fps_single_stream_chunked_bf16_precompute"] = \
-                bench_chunked_fps(lanes=1, L=16, dtype="bfloat16",
-                                  precompute=True)
+                rec["fps"]
+            details["chunked_bf16_precompute_roofline"] = rec
+            fps_headline = max(fps_headline, rec["fps"])
         except Exception as e:
             details["jax_fps_single_stream_chunked_bf16_precompute_error"] = \
                 str(e)[:300]
+        try:
+            # hardware parity guard: fused Pallas kernels vs XLA must agree
+            # every bench run (a Mosaic regression fails loudly here)
+            details["fused_parity_max_diff"] = check_fused_parity()
+        except Exception as e:
+            details["fused_parity_error"] = str(e)[:300]
+            raise
         try:
             details["jax_fps_8lane_throughput"] = bench_jax_fps(
                 lanes=8, n_hi=8, batched_decode=True)
@@ -550,9 +617,9 @@ def main():
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)
 
-    vs = fps1 / torch_fps if torch_fps else float("nan")
+    vs = fps_headline / torch_fps if torch_fps else float("nan")
     print(json.dumps({"metric": "e2e_depth_fps_256x512",
-                      "value": round(fps1, 3),
+                      "value": round(fps_headline, 3),
                       "unit": "depth_maps/s",
                       "vs_baseline": round(vs, 3)}))
 

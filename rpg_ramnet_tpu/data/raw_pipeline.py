@@ -55,12 +55,21 @@ def voxelize_batch(events, counts, *, num_bins: int, height: int, width: int,
     """
     fn = {"pallas": V.events_to_voxel_grid_pallas,
           "matmul": V.events_to_voxel_grid_matmul,
+          "sortseg": V.events_to_voxel_grid_sortseg,
           "scatter": V.events_to_voxel_grid_scatter}[backend]
 
     def one(ev, n):
-        g = fn(ev, n, num_bins=num_bins, height=height, width=width)
-        if normalize:
-            g = V.normalize_voxel_grid(g)
+        if backend == "sortseg" and normalize:
+            # fused epilogue: the kernel emits the nonzero count/sum/sumsq
+            # while the grid is still in VMEM — the normalize pass skips
+            # its reduction read (ops/voxel.py with_stats)
+            g, stats = fn(ev, n, num_bins=num_bins, height=height,
+                          width=width, with_stats=True)
+            g = V.normalize_voxel_grid(g, stats)
+        else:
+            g = fn(ev, n, num_bins=num_bins, height=height, width=width)
+            if normalize:
+                g = V.normalize_voxel_grid(g)
         return jnp.moveaxis(g, 0, -1)  # CHW -> HWC
 
     lead = events.shape[:-2]

@@ -16,9 +16,11 @@ computes the whole layer in ONE pass over H-tiles:
   [B, 2H, 2W, Cout] is a free leading-dim merge — no strided scatter
   (the HBM-level phase stitch is what made the round-1 subpixel decoder
   LOSE, PERF.md).
-* the 2x COLUMN upsample runs in-kernel in VMEM (pltpu-style repeat +
-  masked rolls — no hi-res tensor ever touches HBM), with the resize's
-  edge clamp exact.
+* the 2x COLUMN upsample runs OUTSIDE the kernel as one cheap XLA
+  bandwidth pass producing v [B, H, 2W, C] (lo rows x hi cols; Mosaic has
+  no sublane interleave, so in-kernel doubling is not lowerable) — still
+  half the HBM traffic of materializing the full 2x tensor, and the skip
+  sum + resize edge clamp fuse into it.
 * 4 row taps fold into the contraction dim (K=5C with one zero slot per
   phase — 83% MXU contraction fill at C=64 vs 50% for per-tap dots), 5
   column taps are masked sublane rolls, reproducing the conv's zero
@@ -99,50 +101,22 @@ def _mask_roll(x, dc, n_cols):
     return jnp.where(keep, rolled, jnp.zeros_like(rolled))
 
 
-def _clamp_roll(x, shift, n_cols):
-    """x[..., j - shift, :] with EDGE clamp (the resize's replicate
-    border)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols, 1), 1)
-    rolled = jnp.roll(x, shift, axis=1)
-    inside = (col - shift >= 0) & (col - shift < n_cols)
-    return jnp.where(inside, rolled, x)
-
-
-def _kernel(*refs, tile_h: int, H: int, W: int, C: int,
-            Cout: int, relu: bool, has_skip: bool):
-    if has_skip:
-        (x_prev, x_cur, x_next, s_prev, s_cur, s_next, wstack, c_first,
-         c_last, bias2, out_ref) = refs
-    else:
-        (x_prev, x_cur, x_next, wstack, c_first, c_last, bias2,
-         out_ref) = refs
+def _kernel(v_prev, v_cur, v_next, wstack, c_first, c_last, bias2,
+            out_ref, *, tile_h: int, H: int, W: int, C: int,
+            Cout: int, relu: bool):
     i = pl.program_id(1)
-    dt = x_cur.dtype
+    dt = v_cur.dtype
     f32 = jnp.float32
 
-    def halo(prev, cur, nxt):
-        hb = jnp.concatenate([prev[0, -2:], cur[0], nxt[0, :2]], axis=0)
-        # row-clamped halo (resize replicate semantics): rows outside
-        # [0, H) read the nearest real row of THIS tile's view
-        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 4, 1, 1), 0) \
-            + i * tile_h - 2
-        top = jnp.broadcast_to(cur[0, :1], hb.shape)
-        bot = jnp.broadcast_to(cur[0, tile_h - 1:tile_h], hb.shape)
-        hb = jnp.where(row < 0, top, hb)
-        hb = jnp.where(row >= H, bot, hb)
-        return hb
-
-    hb = halo(x_prev, x_cur, x_next)
-    if has_skip:
-        hb = hb + halo(s_prev, s_cur, s_next)
-
-    # in-VMEM column 2x upsample with edge clamp: v [tile_h+4, 2W, C]
-    xe = pltpu_repeat(hb, 2, 1)
-    m = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * W, 1), 1)
-    left = jnp.where(m > 0, jnp.roll(xe, 1, axis=1), xe)
-    right = jnp.where(m < 2 * W - 1, jnp.roll(xe, -1, axis=1), xe)
-    xo = jnp.where(m % 2 == 0, left, right)
-    v = (0.75 * xe.astype(f32) + 0.25 * xo.astype(f32)).astype(dt)
+    # v tile with a row-clamped 2-row halo (resize replicate semantics):
+    # rows outside [0, H) read the nearest real row of THIS tile's view
+    v = jnp.concatenate([v_prev[0, -2:], v_cur[0], v_next[0, :2]], axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 4, 1, 1), 0) \
+        + i * tile_h - 2
+    top = jnp.broadcast_to(v_cur[0, :1], v.shape)
+    bot = jnp.broadcast_to(v_cur[0, tile_h - 1:tile_h], v.shape)
+    v = jnp.where(row < 0, top, v)
+    v = jnp.where(row >= H, bot, v)
 
     # 5-row channel fold: [tile_h, 2W, 5C]
     cat5 = jnp.concatenate([v[a:a + tile_h] for a in range(5)], axis=-1)
@@ -179,11 +153,16 @@ def _kernel(*refs, tile_h: int, H: int, W: int, C: int,
     out_ref[0, :, 1] = acc[..., Cout:].astype(dt)
 
 
-def pltpu_repeat(x, repeats, axis):
-    """jnp.repeat via concat+reshape-free path usable inside Mosaic:
-    interleaved doubling on the sublane dim via roll-free broadcast trick —
-    falls back to jnp.repeat (supported by Mosaic for static repeats)."""
-    return jnp.repeat(x, repeats, axis=axis)
+def _col_upsample(x):
+    """2x column upsample, torch align_corners=False semantics with edge
+    clamp, as ONE XLA pass: v[..., 2j+q, :] for q=0: 0.25x[j-1]+0.75x[j],
+    q=1: 0.75x[j]+0.25x[j+1] (clamped).  [B, H, W, C] -> [B, H, 2W, C]."""
+    xl = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
+    xr = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    v0 = 0.25 * xl + 0.75 * x
+    v1 = 0.75 * x + 0.25 * xr
+    B, H, W, C = x.shape
+    return jnp.stack([v0, v1], axis=3).reshape(B, H, 2 * W, C)
 
 
 def _pick_tile_h(H: int, W: int, C: int, Cout: int, esize: int) -> int:
@@ -210,14 +189,14 @@ def supports(x, Cout: int) -> bool:
             and W % 8 == 0 and C % 8 == 0 and Cout % 8 == 0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "relu", "interpret",
-                                             "has_skip"))
-def _run(x, skip, wstack, c_first, c_last, bias2, tile_h, relu=True,
-         interpret=False, has_skip=False):
-    B, H, W, C = x.shape
+@functools.partial(jax.jit, static_argnames=("tile_h", "relu", "interpret"))
+def _run(v, wstack, c_first, c_last, bias2, tile_h, relu=True,
+         interpret=False):
+    B, H, W2, C = v.shape     # v: column-upsampled input [B, H, 2W, C]
+    W = W2 // 2
     Cout = bias2.shape[-1] // 2
     n = H // tile_h
-    blk = lambda fm: pl.BlockSpec((1, tile_h, W, C), fm)  # noqa: E731
+    blk = lambda fm: pl.BlockSpec((1, tile_h, W2, C), fm)  # noqa: E731
     cur = blk(lambda b, i: (b, i, 0, 0))
     prv = blk(lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0))
     nxt = blk(lambda b, i: (b, jnp.minimum(i + 1, n - 1), 0, 0))
@@ -226,22 +205,15 @@ def _run(x, skip, wstack, c_first, c_last, bias2, tile_h, relu=True,
     bspec = pl.BlockSpec((1, 2 * Cout), lambda b, i: (0, 0))
     out_spec = pl.BlockSpec((1, tile_h, 2, 2 * W, Cout),
                             lambda b, i: (b, i, 0, 0, 0))
-    if has_skip:
-        in_specs = [prv, cur, nxt, prv, cur, nxt, wspec, cspec, cspec, bspec]
-        operands = (x, x, x, skip, skip, skip, wstack, c_first, c_last,
-                    bias2)
-    else:
-        in_specs = [prv, cur, nxt, wspec, cspec, cspec, bspec]
-        operands = (x, x, x, wstack, c_first, c_last, bias2)
     out = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, H=H, W=W, C=C, Cout=Cout,
-                          relu=relu, has_skip=has_skip),
-        out_shape=jax.ShapeDtypeStruct((B, H, 2, 2 * W, Cout), x.dtype),
+                          relu=relu),
+        out_shape=jax.ShapeDtypeStruct((B, H, 2, 2 * W, Cout), v.dtype),
         grid=(B, n),
-        in_specs=in_specs,
+        in_specs=[prv, cur, nxt, wspec, cspec, cspec, bspec],
         out_specs=out_spec,
         interpret=interpret,
-    )(*operands)
+    )(v, v, v, wstack, c_first, c_last, bias2)
     # phase-planar [B, H, 2, 2W, Cout] -> [B, 2H, 2W, Cout]: leading-dim
     # merge, layout-free
     return out.reshape(B, 2 * H, 2 * W, Cout)
@@ -266,12 +238,11 @@ def upsample_conv_fused(p, x, skip=None, activation: str = "relu",
     wstack, c_first, c_last = prep_weights(w, dt)
     bias = jnp.zeros((Cout,), dt) if b is None else b.astype(dt)
     bias2 = jnp.concatenate([bias, bias])[None]
-    has_skip = skip is not None
-    if skip is None:
-        skip = x  # dummy operand (ignored by the kernel)
-    out = _run(x, skip.astype(dt), wstack, c_first, c_last, bias2, th,
-               relu=(activation == "relu"), interpret=interpret,
-               has_skip=has_skip)
+    if skip is not None:
+        x = x + skip.astype(dt)   # fuses into the _col_upsample pass
+    v = _col_upsample(x)
+    out = _run(v, wstack, c_first, c_last, bias2, th,
+               relu=(activation == "relu"), interpret=interpret)
     if activation not in ("relu", None):
         from ..models.layers import _activation_fn
         out = _activation_fn(activation)(out)

@@ -306,7 +306,7 @@ _SEG_WIN = 128  # window width in cells (one output row)
 _SEG_STATIC_PASSES = 4  # unrolled window passes; covers >=4 populated windows
 
 
-def _make_sortseg_kernel(hw: int):
+def _make_sortseg_kernel(hw: int, with_stats: bool = False):
     """hw = height*width: the right-bilinear contribution of a sorted event
     lands exactly one bin image later (flat idx + hw), so ONE sort of the
     events yields both sorted streams.
@@ -318,7 +318,7 @@ def _make_sortseg_kernel(hw: int):
     windows) runs as STATIC unrolled passes, and the while loop survives
     only as a pl.when-guarded tail that real event data never enters
     (it guarantees correctness for adversarially sparse inputs)."""
-    def _sortseg_kernel(idx_ref, vl_ref, vr_ref, out_ref):
+    def _sortseg_kernel(idx_ref, vl_ref, vr_ref, out_ref, *stats_refs):
         @pl.when(pl.program_id(0) == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
@@ -361,12 +361,37 @@ def _make_sortseg_kernel(hw: int):
             @pl.when(lo < overflow)
             def _():  # sparse-input correctness tail (never hit by real data)
                 jax.lax.while_loop(lambda l: l < overflow, window_pass, lo)
+
+        if with_stats:
+            # fused nonzero-normalization STATS (event_dataset.py:144-151
+            # semantics): at the last chunk the full grid sits in VMEM, so
+            # the masked count/sum/sumsq reduction is free of the extra HBM
+            # grid read a separate XLA pass would pay.  Padding cells are
+            # zero -> excluded by the mask automatically.
+            @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+            def _():
+                g = out_ref[:]
+                mask = g != 0.0
+                n = jnp.sum(mask.astype(jnp.float32))
+                sm = jnp.sum(jnp.where(mask, g, 0.0))
+                s2 = jnp.sum(jnp.where(mask, g * g, 0.0))
+                stats_refs[0][:] = jnp.stack(
+                    [jnp.full((_LANE,), n, jnp.float32),
+                     jnp.full((_LANE,), sm, jnp.float32),
+                     jnp.full((_LANE,), s2, jnp.float32),
+                     jnp.zeros((_LANE,), jnp.float32),
+                     jnp.zeros((_LANE,), jnp.float32),
+                     jnp.zeros((_LANE,), jnp.float32),
+                     jnp.zeros((_LANE,), jnp.float32),
+                     jnp.zeros((_LANE,), jnp.float32)])
     return _sortseg_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_bins", "height", "width"))
+@functools.partial(jax.jit, static_argnames=("num_bins", "height", "width",
+                                             "with_stats"))
 def events_to_voxel_grid_sortseg(events, n_valid, *, num_bins: int,
-                                 height: int, width: int):
+                                 height: int, width: int,
+                                 with_stats: bool = False):
     """Voxelizer v2: ONE sort of the events by left-contribution cell (the
     right-bilinear stream is the same order at +height*width), then a Pallas
     kernel sweeps narrow cell windows over each sorted chunk — a
@@ -410,6 +435,15 @@ def events_to_voxel_grid_sortseg(events, n_valid, *, num_bins: int,
     rows_out = _round_up(cells, _LANE) // _LANE + 1
     rows_pad = _round_up(rows_out, 8)
 
+    grid_out_spec = pl.BlockSpec((rows_pad, _LANE), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((rows_pad, _LANE), jnp.float32)
+    out_specs = grid_out_spec
+    if with_stats:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((8, _LANE), jnp.float32))
+        out_specs = (grid_out_spec,
+                     pl.BlockSpec((8, _LANE), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
     grid_spec = pl.GridSpec(
         grid=(n_chunks,),
         in_specs=[
@@ -417,12 +451,11 @@ def events_to_voxel_grid_sortseg(events, n_valid, *, num_bins: int,
             pl.BlockSpec((_SEG_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_SEG_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows_pad, _LANE), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
     )
     out = pl.pallas_call(
-        _make_sortseg_kernel(hw),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, _LANE), jnp.float32),
+        _make_sortseg_kernel(hw, with_stats=with_stats),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
         cost_estimate=pl.CostEstimate(
@@ -431,6 +464,10 @@ def events_to_voxel_grid_sortseg(events, n_valid, *, num_bins: int,
             transcendentals=0,
         ),
     )(idx_s, vl_s, vr_s)
+    if with_stats:
+        out, stats = out
+        grid = out.reshape(-1)[:cells].reshape(num_bins, height, width)
+        return grid, (stats[0, 0], stats[1, 0], stats[2, 0])
     return out.reshape(-1)[:cells].reshape(num_bins, height, width)
 
 
@@ -440,13 +477,20 @@ def events_to_voxel_grid_sortseg(events, n_valid, *, num_bins: int,
 
 
 @jax.jit
-def normalize_voxel_grid(grid):
+def normalize_voxel_grid(grid, stats=None):
     """Nonzero mean/std normalization as a jitted masked reduction
-    (TPU has no boolean indexing; event_dataset.py:144-151 semantics)."""
+    (TPU has no boolean indexing; event_dataset.py:144-151 semantics).
+    stats: optional (count, sum, sumsq) precomputed by the sortseg
+    kernel's fused epilogue (with_stats=True) — skips the reduction's
+    extra grid read."""
+    if stats is not None:
+        n, s, s2 = stats
+    else:
+        mask0 = grid != 0
+        n = jnp.sum(mask0)
+        s = jnp.sum(jnp.where(mask0, grid, 0.0), dtype=jnp.float32)
+        s2 = jnp.sum(jnp.where(mask0, grid * grid, 0.0), dtype=jnp.float32)
     mask = grid != 0
-    n = jnp.sum(mask)
-    s = jnp.sum(jnp.where(mask, grid, 0.0), dtype=jnp.float32)
-    s2 = jnp.sum(jnp.where(mask, grid * grid, 0.0), dtype=jnp.float32)
     mean = s / jnp.maximum(n, 1)
     var = s2 / jnp.maximum(n, 1) - mean * mean
     std = jnp.sqrt(jnp.maximum(var, 0.0))

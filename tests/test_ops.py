@@ -471,3 +471,38 @@ def test_fused_decoder_full_forward_matches():
                                                             orig_int)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_sortseg_fused_stats_normalize():
+    """with_stats=True: the sortseg kernel's fused epilogue emits the
+    nonzero count/sum/sumsq; normalize_voxel_grid(grid, stats) must equal
+    the plain two-pass normalize AND the numpy oracle."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.ops.voxel import (events_to_voxel_grid_sortseg,
+                                          normalize_voxel_grid,
+                                          normalize_voxel_grid_np)
+    from rpg_ramnet_tpu import ops
+
+    ev = random_events(4000, 24, 32, seed=7)
+    n = jnp.int32(ev.shape[0])
+    ev_j = jnp.asarray(ev.astype(np.float32))
+    grid, stats = events_to_voxel_grid_sortseg(
+        ev_j, n, num_bins=5, height=24, width=32, with_stats=True)
+    grid_plain = events_to_voxel_grid_sortseg(
+        ev_j, n, num_bins=5, height=24, width=32)
+    np.testing.assert_allclose(np.asarray(grid), np.asarray(grid_plain))
+
+    ref = ops.events_to_voxel_grid_np(ev.copy(), 5, 24, 32)
+    np.testing.assert_allclose(np.asarray(grid), ref, atol=1e-3)
+
+    mask = ref != 0
+    np.testing.assert_allclose(float(stats[0]), mask.sum(), rtol=1e-6)
+    np.testing.assert_allclose(float(stats[1]), ref[mask].sum(), rtol=1e-3,
+                               atol=1e-3)
+
+    got = normalize_voxel_grid(grid, stats)
+    want2 = normalize_voxel_grid(grid)
+    want_np = normalize_voxel_grid_np(ref.copy())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want2),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), want_np, atol=1e-3)
