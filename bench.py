@@ -131,7 +131,8 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
 
 
 def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
-                      dtype="float32", with_costs=False, precompute=False):
+                      dtype="float32", with_costs=False, precompute=False,
+                      fused_gru="auto", fused_decoder="auto"):
     """Offline chunked streaming (test.py --scan_chunk semantics): scan the
     sequential encoder+GRU work over L packages, decode ALL L*(K+1)
     snapshots in ONE batch (model.forward_sequence_batched_decode; outputs
@@ -153,7 +154,8 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
         "recurrent_block_type": "conv", "state_combination": "convgru",
         "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
         "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
-        "baseline": False, "compute_dtype": dtype})
+        "baseline": False, "compute_dtype": dtype,
+        "fused_gru": fused_gru, "fused_decoder": fused_decoder})
     K = mcfg.every_x_rgb_frame
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
     state0 = ERGB2DepthRecurrent.init_state(mcfg, lanes, H, W)
