@@ -324,11 +324,13 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
     return out
 
 
-def check_fused_parity(H=256, W=512, L=4, tol=0.05):
+def check_fused_parity(H=256, W=512, L=2, tol=0.05):
     """HARDWARE guard for the Pallas kernels (run every bench): the shipped
     bf16 flagship path (fused GRU cells + fused decoder, auto-enabled)
     must agree with the all-XLA path on the same inputs.  A Mosaic/layout
     regression fails the bench loudly instead of shipping wrong numbers.
+    L=2 keeps the decode batch at 12 <= the fused decoder's latency-mode
+    gate (statenet._use_fused_decoder) so BOTH kernel families run.
     Tolerance: the fused cells accumulate gates in f32 vs bf16-native XLA
     (~1.5e-4/cell measured round 2); over L*(K+1) gated steps 0.05 bounds
     the drift on [0,1] sigmoid outputs."""
@@ -343,7 +345,10 @@ def check_fused_parity(H=256, W=512, L=4, tol=0.05):
         "recurrent_block_type": "conv", "state_combination": "convgru",
         "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
         "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
-        "baseline": False, "compute_dtype": "bfloat16"})
+        "baseline": False, "compute_dtype": "bfloat16",
+        # decoder kernel is opt-in-only in production (measured in-context
+        # loss) but the guard runs it deliberately for parity coverage
+        "fused_decoder": "on"})
     off = dataclasses.replace(mcfg, fused_gru="off", fused_decoder="off")
     params = M.init_params(jax.random.PRNGKey(0), mcfg)
     st0 = M.init_state(mcfg, 1, H, W)

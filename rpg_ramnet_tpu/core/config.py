@@ -49,8 +49,9 @@ class ModelConfig:
     # force.  f32-accumulated gates (~bf16-eps from the XLA path).
     fused_gru: str = "auto"
     # fused Pallas upsample+5x5-conv decoder layers on inference paths
-    # (ops/upsample_conv.py): same 'auto'/'on'/'off' semantics and
-    # single-device-TPU auto gate as fused_gru (statenet._use_fused_decoder)
+    # (ops/upsample_conv.py): OPT-IN ONLY ('on'); 'auto' is off — the
+    # kernel wins isolated microbenches but loses in context on v5e
+    # (statenet._use_fused_decoder has the measurements)
     fused_decoder: str = "auto"
 
     @staticmethod

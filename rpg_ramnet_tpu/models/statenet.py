@@ -390,17 +390,24 @@ def combine_hside(params, cfg: ModelConfig, supers: Tuple, gx_scales,
 
 def _use_fused_decoder(cfg: ModelConfig, x, cout: int) -> bool:
     """cfg.fused_decoder policy for one upsample-conv layer (the fused
-    Pallas upsample+5x5 kernel, ops/upsample_conv.py)."""
+    Pallas upsample+5x5 kernel, ops/upsample_conv.py).
+
+    MEASURED DEAD-END on v5e, kept opt-in ('on') only — 'auto' is OFF:
+    the kernel wins ISOLATED per-layer microbenches at small batch (up to
+    1.94x at B=6, exp/upsample_conv_hw.json) but loses IN CONTEXT
+    everywhere it was tried: chunked bf16 record 810 -> 716 maps/s (the
+    96-deep decode batch lets XLA's conv amortize far better while the
+    VMEM-budgeted tiles cannot grow — tile_h=8 OOMs the compile — and the
+    column-upsample interleave pass scales linearly,
+    exp/upsample_conv_b96.json); per-package latency mode 494 -> 271.
+    Same pathology as the full fused GRU cell (PERF.md): custom-call
+    operand layout constraints force relayouts of XLA-produced inputs
+    that XLA's own conv fusions avoid."""
     mode = getattr(cfg, "fused_decoder", "auto")
-    if mode == "off":
+    if mode != "on":
         return False
     from ..ops import upsample_conv
-    if not upsample_conv.supports(x, cout):
-        return False
-    if mode == "on":
-        return True
-    # auto: single-device TPU only (kernels ignore shardings)
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    return upsample_conv.supports(x, cout)
 
 
 def supers_decoder_view(cfg: ModelConfig, supers: Tuple) -> Tuple:
