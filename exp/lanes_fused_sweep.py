@@ -9,7 +9,7 @@ from rpg_ramnet_tpu.utils import ensure_platform
 ensure_platform()
 import bench
 
-points = [(2, 8), (4, 4), (4, 2), (8, 2), (2, 4)]
+points = [(1, 24), (1, 32), (2, 8), (4, 4), (4, 2), (8, 2), (2, 4)]
 out = {}
 for lanes, L in points:
     key = f"bf16_pre_fused_lanes{lanes}_L{L}"

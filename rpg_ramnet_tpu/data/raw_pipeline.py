@@ -59,17 +59,15 @@ def voxelize_batch(events, counts, *, num_bins: int, height: int, width: int,
           "scatter": V.events_to_voxel_grid_scatter}[backend]
 
     def one(ev, n):
-        if backend == "sortseg" and normalize:
-            # fused epilogue: the kernel emits the nonzero count/sum/sumsq
-            # while the grid is still in VMEM — the normalize pass skips
-            # its reduction read (ops/voxel.py with_stats)
-            g, stats = fn(ev, n, num_bins=num_bins, height=height,
-                          width=width, with_stats=True)
-            g = V.normalize_voxel_grid(g, stats)
-        else:
-            g = fn(ev, n, num_bins=num_bins, height=height, width=width)
-            if normalize:
-                g = V.normalize_voxel_grid(g)
+        # NOTE: sortseg's fused stats epilogue (with_stats=True) exists and
+        # is exact, but measured SLOWER on v5e (235.5 -> 187.0 Mev/s,
+        # exp/vox_v3_verify.json — the second pallas output breaks the
+        # revisited grid block's stay-resident pattern), while the separate
+        # XLA normalize reduction costs only ~7 us at this grid size; so
+        # the two-pass normalize stays the default.
+        g = fn(ev, n, num_bins=num_bins, height=height, width=width)
+        if normalize:
+            g = V.normalize_voxel_grid(g)
         return jnp.moveaxis(g, 0, -1)  # CHW -> HWC
 
     lead = events.shape[:-2]

@@ -1,11 +1,21 @@
 """Fused bilinear-2x-upsample + 5x5 conv (+skip +bias +ReLU) Pallas kernel.
 
-The decoder is ~57% of streaming package time and its top trace category is
-XLA layout copies around the 5x5 narrow-channel convs (PERF.md): the
-UpsampleConvLayer (reference submodules.py:69-97 — F.interpolate(x2,
-bilinear, align_corners=False) then Conv2d(k=5, pad=2)) materializes the 2x
-tensor in HBM and pays operand relayouts on both sides.  This kernel
-computes the whole layer in ONE pass over H-tiles:
+STATUS (round 3): OPT-IN ONLY (`model.fused_decoder='on'`) — a measured
+in-context dead-end on v5e.  The kernel is exact (bf16-eps on hardware)
+and wins isolated per-layer microbenches at small batch (up to 1.94x at
+B=6, exp/upsample_conv_hw.json), but loses end-to-end everywhere it was
+tried: chunked record 810 -> 716 maps/s, latency mode 494 -> 271 — XLA's
+conv amortizes with batch while the VMEM-budgeted tiles cannot grow, the
+column-upsample interleave pass is expensive, and custom-call operand
+boundaries force relayouts (PERF.md §"the fused decoder kernel dead-end").
+The bench parity guard still executes it every run.
+
+The motivation: the decoder is ~57% of streaming package time and its top
+trace category is XLA layout copies around the 5x5 narrow-channel convs
+(PERF.md): the UpsampleConvLayer (reference submodules.py:69-97 —
+F.interpolate(x2, bilinear, align_corners=False) then Conv2d(k=5, pad=2))
+materializes the 2x tensor in HBM and pays operand relayouts on both
+sides.  This kernel computes the whole layer in ONE pass over H-tiles:
 
 * the 2x ROW upsample is composed into the conv weights: output hi-res row
   2i+p is a 4-tap conv over LOW-res rows with the phase kernel

@@ -333,30 +333,44 @@ def _make_sortseg_kernel(hw: int, with_stats: bool = False):
 
         for off, val_ref in ((0, vl_ref), (hw, vr_ref)):
             idxs = [idx_ref[j, :] + off for j in range(_SEG_SUB)]
-            vals = [val_ref[j, :] for j in range(_SEG_SUB)]
+            # v3 (round 3, +58% measured): the window reduce rides the MXU —
+            # vec = vals_row @ onehot — instead of the VPU select+sum.  The
+            # one-hot is EXACT in the MXU's bf16 operand passes; the values
+            # are hi/lo-split into two bf16-exact dots so the accumulation
+            # stays f32-accurate (~2^-17 rel, vs 1.2e-2 for a single
+            # default-precision f32 dot — measured, exp/vox_v3_probe.py).
+            vrow = jnp.concatenate(
+                [val_ref[j, :][None, :] for j in range(_SEG_SUB)], axis=1)
+            vhi = vrow.astype(jnp.bfloat16).astype(jnp.float32)
+            vlo = vrow - vhi
             lo0 = (jnp.min(idx_ref[...] + off) // _SEG_WIN) * _SEG_WIN
 
             def window_pass(lo):
                 """Accumulate every contribution inside [lo, lo+WIN) and
                 return the aligned start of the next populated window
                 (the overflow row when exhausted)."""
-                vec = jnp.zeros((1, _SEG_WIN), jnp.float32)
+                ohs = []
                 nxt = sentinel
                 for j in range(_SEG_SUB):
                     rel = idxs[j][:, None] - lo              # [128, 1]
-                    oh = rel == cell_iota                    # [128, WIN]
-                    vec += jnp.sum(jnp.where(oh, vals[j][:, None], 0.0),
-                                   axis=0, keepdims=True)
+                    ohs.append((rel == cell_iota).astype(jnp.float32))
                     nxt = jnp.minimum(nxt, jnp.min(
                         jnp.where(rel >= _SEG_WIN, idxs[j][:, None], sentinel)))
+                oh = jnp.concatenate(ohs, axis=0)            # [1024, WIN]
+                vec = jnp.dot(vhi, oh, preferred_element_type=jnp.float32) \
+                    + jnp.dot(vlo, oh, preferred_element_type=jnp.float32)
                 out_ref[pl.dslice(lo // _LANE, _SEG_WIN // _LANE), :] += \
                     vec.reshape(_SEG_WIN // _LANE, _LANE)
                 return jnp.where(nxt >= sentinel, overflow,
                                  (nxt // _SEG_WIN) * _SEG_WIN)
 
-            lo = lo0
-            for _ in range(_SEG_STATIC_PASSES):
-                lo = window_pass(lo)
+            # first pass always populated; later static passes SKIP their
+            # work once the chunk is exhausted (lax.cond — measured +21%
+            # over unconditional unroll: real chunks span ~2-3 windows)
+            lo = window_pass(lo0)
+            for _ in range(_SEG_STATIC_PASSES - 1):
+                lo = jax.lax.cond(lo < overflow, window_pass,
+                                  lambda l: l, lo)
 
             @pl.when(lo < overflow)
             def _():  # sparse-input correctness tail (never hit by real data)
