@@ -43,7 +43,7 @@ def _per_iter_seconds(run_n, args_lo, args_hi, n_lo, n_hi, repeats=3):
 
 def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
                   with_costs=False, fast_upsample=False, decode_keys=None,
-                  batched_decode=False):
+                  batched_decode=False, composed_decoder="auto"):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -56,7 +56,10 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
         "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
         "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
         "baseline": False, "compute_dtype": dtype,
-        "fast_upsample": fast_upsample})
+        "fast_upsample": fast_upsample, "composed_decoder": composed_decoder})
+    # mirrors the inference engines: composed layers on streaming paths are
+    # an EXPLICIT config opt-in (they deviate in float summation order)
+    allow_comp = composed_decoder == "on"
     K = mcfg.every_x_rgb_frame
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
     state0 = ERGB2DepthRecurrent.init_state(mcfg, lanes, H, W)
@@ -77,11 +80,12 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
             pkg_i = {"events": pkg["events"] + eps, "image": pkg["image"] + eps}
             if batched_decode:
                 st, preds = ERGB2DepthRecurrent.forward_package_batched_decode(
-                    params, mcfg, st, pkg_i, allow_fused_decoder=True)
+                    params, mcfg, st, pkg_i, allow_fused_decoder=True,
+                    allow_composed=allow_comp)
             else:
                 st, preds = ERGB2DepthRecurrent.forward_package(
                     params, mcfg, st, pkg_i, decode_keys=decode_keys,
-                    allow_fused_decoder=True)
+                    allow_fused_decoder=True, allow_composed=allow_comp)
             # CONSUME the predictions: the recurrent state does not depend
             # on the decoder outputs, so without this XLA dead-code
             # eliminates every decode and the "fps" measures an
@@ -132,7 +136,8 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
 
 def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
                       dtype="float32", with_costs=False, precompute=False,
-                      fused_gru="auto", fused_decoder="auto"):
+                      fused_gru="auto", fused_decoder="auto",
+                      composed_decoder="auto"):
     """Offline chunked streaming (test.py --scan_chunk semantics): scan the
     sequential encoder+GRU work over L packages, decode ALL L*(K+1)
     snapshots in ONE batch (model.forward_sequence_batched_decode; outputs
@@ -155,8 +160,10 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
         "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
         "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
         "baseline": False, "compute_dtype": dtype,
-        "fused_gru": fused_gru, "fused_decoder": fused_decoder})
+        "fused_gru": fused_gru, "fused_decoder": fused_decoder,
+        "composed_decoder": composed_decoder})
     K = mcfg.every_x_rgb_frame
+    allow_comp = composed_decoder == "on"   # mirrors the inference engines
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
     state0 = ERGB2DepthRecurrent.init_state(mcfg, lanes, H, W)
     rng = np.random.RandomState(0)
@@ -178,7 +185,8 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
                 # gx memory; the training-path variant)
                 st, preds = \
                     ERGB2DepthRecurrent.forward_sequence_batched_decode(
-                        params, mcfg, st, seq_i, package_precompute=True)
+                        params, mcfg, st, seq_i, package_precompute=True,
+                        allow_composed=allow_comp)
             elif precompute:
                 st, preds = ERGB2DepthRecurrent.forward_sequence_precomputed(
                     params, mcfg, st, seq_i)
@@ -188,7 +196,8 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
                 # supported shapes (cfg.fused_decoder='auto')
                 st, preds = \
                     ERGB2DepthRecurrent.forward_sequence_batched_decode(
-                        params, mcfg, st, seq_i, allow_fused_decoder=True)
+                        params, mcfg, st, seq_i, allow_fused_decoder=True,
+                        allow_composed=allow_comp)
             # consume every prediction (decodes don't feed the state; see
             # the DCE note in bench_jax_fps)
             acc = acc + sum(jnp.sum(p.astype(jnp.float32))
@@ -325,12 +334,15 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
 
 
 def check_fused_parity(H=256, W=512, L=2, tol=0.05):
-    """HARDWARE guard for the Pallas kernels (run every bench): the shipped
-    bf16 flagship path (fused GRU cells + fused decoder, auto-enabled)
-    must agree with the all-XLA path on the same inputs.  A Mosaic/layout
-    regression fails the bench loudly instead of shipping wrong numbers.
+    """HARDWARE guard for the non-default numerics (run every bench): the
+    shipped bf16 flagship path (fused GRU cells + fused decoder + composed
+    transposed-conv upsample layers, all forced on) must agree with the
+    all-XLA two-stage path on the same inputs.  A Mosaic/layout regression
+    fails the bench loudly instead of shipping wrong numbers.
     L=2 keeps the decode batch at 12 <= the fused decoder's latency-mode
-    gate (statenet._use_fused_decoder) so BOTH kernel families run.
+    gate (statenet._use_fused_decoder) so BOTH Pallas kernel families run;
+    composed_decoder='on' overrides its >=24-batch auto gate so the
+    composed formulation is covered too.
     Tolerance: the fused cells accumulate gates in f32 vs bf16-native XLA
     (~1.5e-4/cell measured round 2); over L*(K+1) gated steps 0.05 bounds
     the drift on [0,1] sigmoid outputs."""
@@ -347,9 +359,11 @@ def check_fused_parity(H=256, W=512, L=2, tol=0.05):
         "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
         "baseline": False, "compute_dtype": "bfloat16",
         # decoder kernel is opt-in-only in production (measured in-context
-        # loss) but the guard runs it deliberately for parity coverage
-        "fused_decoder": "on"})
-    off = dataclasses.replace(mcfg, fused_gru="off", fused_decoder="off")
+        # loss) but the guard runs it deliberately for parity coverage;
+        # composed is default-on at large decode batches in production
+        "fused_decoder": "on", "composed_decoder": "on"})
+    off = dataclasses.replace(mcfg, fused_gru="off", fused_decoder="off",
+                              composed_decoder="off")
     params = M.init_params(jax.random.PRNGKey(0), mcfg)
     st0 = M.init_state(mcfg, 1, H, W)
     rng = np.random.RandomState(0)
@@ -357,19 +371,26 @@ def check_fused_parity(H=256, W=512, L=2, tol=0.05):
                rng.randn(L, 1, 5, 5, H, W).astype(np.float32)),
            "image_tcf": jnp.asarray(
                rng.rand(L, 1, 1, H, W).astype(np.float32))}
+    # the fused Pallas decoder takes per-layer precedence over the composed
+    # formulation, so the composed layers need their own Pallas-free config
+    comp = dataclasses.replace(mcfg, fused_gru="off", fused_decoder="off")
     _, p_fused = jax.jit(lambda: M.forward_sequence_precomputed(
         params, mcfg, st0, seq))()
+    _, p_comp = jax.jit(lambda: M.forward_sequence_precomputed(
+        params, comp, st0, seq))()
     _, p_plain = jax.jit(lambda: M.forward_sequence_precomputed(
         params, off, st0, seq))()
     worst = 0.0
-    for k in p_plain:
-        d = float(jnp.max(jnp.abs(p_fused[k].astype(jnp.float32)
-                                  - p_plain[k].astype(jnp.float32))))
-        worst = max(worst, d)
-    if worst > tol:
-        raise AssertionError(
-            f"fused-kernel parity FAILED on hardware: max diff {worst} > "
-            f"{tol} (fused GRU cells + fused decoder vs XLA)")
+    for name, p_alt in (("fused GRU cells + fused decoder", p_fused),
+                        ("composed decoder layers", p_comp)):
+        for k in p_plain:
+            d = float(jnp.max(jnp.abs(p_alt[k].astype(jnp.float32)
+                                      - p_plain[k].astype(jnp.float32))))
+            worst = max(worst, d)
+            if d > tol:
+                raise AssertionError(
+                    f"kernel parity FAILED on hardware: max diff {d} > "
+                    f"{tol} ({name} vs XLA)")
     return worst
 
 

@@ -53,6 +53,11 @@ class ModelConfig:
     # kernel wins isolated microbenches but loses in context on v5e
     # (statenet._use_fused_decoder has the measurements)
     fused_decoder: str = "auto"
+    # composed stride-2 transposed-conv upsample layers (pure XLA,
+    # differentiable): 'auto' = large decode batches (>=24) in bf16 on
+    # TPU — 1.5-1.6x the two-stage layers there, a loss at latency
+    # batches (statenet._use_composed_decoder)
+    composed_decoder: str = "auto"
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "ModelConfig":
@@ -83,6 +88,7 @@ class ModelConfig:
             fast_upsample=bool(d.get("fast_upsample", False)),
             fused_gru=str(d.get("fused_gru", "auto")),
             fused_decoder=str(d.get("fused_decoder", "auto")),
+            composed_decoder=str(d.get("composed_decoder", "auto")),
         )
 
     @property

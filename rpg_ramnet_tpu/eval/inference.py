@@ -78,16 +78,22 @@ class StreamingInference:
         self.cfg = cfg
         self.model = get_model(arch)
         dk = tuple(decode_keys) if decode_keys else None
+        # composed transposed-conv decoder layers: EXPLICIT opt-in only
+        # (cfg.composed_decoder='on') on streaming paths — their contract
+        # is bit-identical outputs, and composed deviates in float
+        # summation order (auto stays off here; see statenet)
+        comp = getattr(cfg, "composed_decoder", "auto") == "on"
         if batched_decode and dk is None and hasattr(
                 self.model, "forward_package_batched_decode"):
             self._fwd = jax.jit(
                 lambda p, s, pkg: self.model.forward_package_batched_decode(
-                    p, cfg, s, pkg, allow_fused_decoder=True))
+                    p, cfg, s, pkg, allow_fused_decoder=True,
+                    allow_composed=comp))
         else:
             self._fwd = jax.jit(
                 lambda p, s, pkg: self.model.forward_package(
                     p, cfg, s, pkg, decode_keys=dk,
-                    allow_fused_decoder=True))
+                    allow_fused_decoder=True, allow_composed=comp))
         self._state = None
 
     def reset(self, batch: int, height: int, width: int):
@@ -170,9 +176,11 @@ class SequenceScanInference:
                     p, cfg, s, seq))
         elif batched_decode and hasattr(self.model,
                                         "forward_sequence_batched_decode"):
+            comp = getattr(cfg, "composed_decoder", "auto") == "on"
             self._fwd = jax.jit(
                 lambda p, s, seq: self.model.forward_sequence_batched_decode(
-                    p, cfg, s, seq, allow_fused_decoder=True))
+                    p, cfg, s, seq, allow_fused_decoder=True,
+                    allow_composed=comp))
         else:
             self._fwd = jax.jit(
                 lambda p, s, seq: self.model.forward_sequence(p, cfg, s, seq))
@@ -231,7 +239,8 @@ def run_chunked_streaming(dataset, params, cfg: ModelConfig,
             p, cfg, s, seq, decode_keys=dk))
     elif batched_decode and hasattr(model, "forward_sequence_batched_decode"):
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence_batched_decode(
-            p, cfg, s, seq, decode_keys=dk, allow_fused_decoder=True))
+            p, cfg, s, seq, decode_keys=dk, allow_fused_decoder=True,
+            allow_composed=getattr(cfg, "composed_decoder", "auto") == "on"))
     else:
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence(
             p, cfg, s, seq, decode_keys=dk))
@@ -323,8 +332,10 @@ class BatchedStreamingInference:
                 m = reset_mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
                 return jnp.where(m, jnp.zeros_like(leaf), leaf)
             state = jax.tree_util.tree_map(mask_leaf, state)
-            return self.model.forward_package(params, cfg, state, pkg,
-                                              allow_fused_decoder=True)
+            return self.model.forward_package(
+                params, cfg, state, pkg, allow_fused_decoder=True,
+                allow_composed=getattr(cfg, "composed_decoder",
+                                       "auto") == "on")
 
         self._fwd = jax.jit(fwd)
 
@@ -443,7 +454,8 @@ def run_batched_chunked_streaming(dataset, params, cfg: ModelConfig,
             p, cfg, s, seq, decode_keys=dk))
     elif hasattr(model, "forward_sequence_batched_decode"):
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence_batched_decode(
-            p, cfg, s, seq, decode_keys=dk, allow_fused_decoder=True))
+            p, cfg, s, seq, decode_keys=dk, allow_fused_decoder=True,
+            allow_composed=getattr(cfg, "composed_decoder", "auto") == "on"))
     else:
         # stateless archs (ERGB2Depth): plain forward_sequence; resets are
         # irrelevant without recurrent state

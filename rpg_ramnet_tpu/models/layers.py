@@ -342,6 +342,72 @@ def upsample_conv_layer_apply(p, x, padding=2, activation="relu", norm=None,
     return _activation_fn(activation)(out)
 
 
+# -- composed transposed-conv formulation of bilinear-2x + 5x5 conv ---------
+#
+# u[m] = sum_j c[m - 2j] x[j] with c = [.25, .75, .75, .25] (the bilinear
+# half-pixel stencil as a stride-2 transposed conv), so the whole layer is
+# ONE stride-2 transposed conv with the composed 8-tap kernel
+# k_eff[t] = sum_d w[d] c[t + d], t in [-3, 4] — no materialized hi-res
+# intermediate, ~16 effective input taps per output (vs 25), and XLA keeps
+# its own native conv layouts (the Pallas kernel's in-context failure mode).
+# Borders: edge-padding x by 2 reproduces the resize's clamp; the conv's
+# zero padding at the outer 2 hi-res rows/cols differs, so those are
+# restitched exactly from 4-pixel slabs of the reference op (contiguous
+# edge overwrites only — no strided phase scatter).  Measured on v5e at
+# the 96-deep chunked decode batch: 1.59x XLA on the 64->32 layer, 1.50x
+# on 128->64, ~tie on 256->128; LOSES at small (latency-mode) batches
+# (exp/decoder_composed_probe.json) — gating in statenet._use_composed.
+
+_C4 = np.array([0.25, 0.75, 0.75, 0.25], np.float32)  # c[t], t in [-1..2]
+
+
+def _composed_kernel_1d():
+    k1 = np.zeros((8, 5), np.float32)          # [t_idx (t=-3..4), d_idx]
+    for ti, t in enumerate(range(-3, 5)):
+        for di, d in enumerate(range(-2, 3)):
+            ci = t + d + 1
+            if 0 <= ci < 4:
+                k1[ti, di] = _C4[ci]
+    return k1
+
+
+def compose_upsample_conv_kernel(w):
+    """w HWIO [5, 5, C, Cout] -> spatially-flipped composed kernel
+    [8, 8, C, Cout] for conv_general_dilated(lhs_dilation=2, padding 0)
+    on a 2-edge-padded input."""
+    k1 = jnp.asarray(_composed_kernel_1d())
+    k_eff = jnp.einsum("au,uvio,bv->abio", k1, w.astype(jnp.float32), k1)
+    return jnp.flip(k_eff, (0, 1))
+
+
+def upsample_conv_layer_composed_apply(p, x, activation="relu"):
+    """Exact equivalent of upsample_conv_layer_apply(norm=None) as ONE
+    stride-2 transposed conv + border restitch (see the derivation above).
+    Differentiable (pure lax ops) and sharding-safe."""
+    w = p["conv2d"]["weight"]
+    b = p["conv2d"].get("bias")
+    k = compose_upsample_conv_kernel(w).astype(x.dtype)
+    xe = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="edge")
+    y = lax.conv_general_dilated(
+        xe, k, (1, 1), ((0, 0), (0, 0)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+
+    def ref_up(xs):
+        return conv2d(upsample2x_bilinear(xs), w, b, 1, 2)
+
+    y = y.at[:, :2, :, :].set(ref_up(x[:, :4, :, :])[:, :2])
+    y = y.at[:, -2:, :, :].set(ref_up(x[:, -4:, :, :])[:, -2:])
+    y = y.at[:, :, :2, :].set(ref_up(x[:, :, :4, :])[:, :, :2])
+    y = y.at[:, :, -2:, :].set(ref_up(x[:, :, -4:, :])[:, :, -2:])
+    y = y.at[:, :2, :2, :].set(ref_up(x[:, :4, :4, :])[:, :2, :2])
+    y = y.at[:, :2, -2:, :].set(ref_up(x[:, :4, -4:, :])[:, :2, -2:])
+    y = y.at[:, -2:, :2, :].set(ref_up(x[:, -4:, :4, :])[:, -2:, :2])
+    y = y.at[:, -2:, -2:, :].set(ref_up(x[:, -4:, -4:, :])[:, -2:, -2:])
+    return _activation_fn(activation)(y)
+
+
 def transposed_conv_layer_init(key, in_ch, out_ch, kernel_size, norm=None, dtype=jnp.float32):
     kh = kw = kernel_size
     # torch ConvTranspose2d weight is (in, out, kh, kw); fan_in = out*k*k? No:

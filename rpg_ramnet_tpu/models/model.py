@@ -173,16 +173,20 @@ def _hside_package(params, cfg: ModelConfig, supers, gev, gim, sel_keys,
 
 
 def _decode_snapshots(params, cfg: ModelConfig, snapshots, sel_keys, l, b,
-                      squeeze_preds, allow_fused_decoder=False):
+                      squeeze_preds, allow_fused_decoder=False,
+                      allow_composed=False):
     """ONE decoder pass over scan-stacked snapshot pyramids (leaves
     [L, S*B, h, w, c]), regrouped into per-key [L, B, H, W(, 1)] preds —
     the shared tail of the deferred-decode sequence paths.
     allow_fused_decoder: permit the Pallas upsample-conv decoder kernel
-    (inference callers only — no VJP)."""
+    (inference callers only — no VJP).
+    allow_composed: permit the composed transposed-conv upsample layers
+    (differentiable; float-summation deviation only)."""
     flat = jax.tree_util.tree_map(
         lambda v: v.reshape((-1,) + v.shape[2:]), snapshots)
     batched_preds = statenet.forward_decoder_supers(
-        params, cfg, flat, allow_fused=allow_fused_decoder)
+        params, cfg, flat, allow_fused=allow_fused_decoder,
+        allow_composed=allow_composed)
     # [L, S, B, H, W, 1] -> per-key [L, B, H, W, 1]
     grouped = batched_preds.reshape((l, len(sel_keys), b)
                                     + batched_preds.shape[1:])
@@ -210,7 +214,8 @@ class ERGB2DepthRecurrent:
     def forward_package(params, cfg: ModelConfig, state, pkg,
                         decode_keys: Optional[Sequence[str]] = None,
                         norm_ctx=None, allow_fused: bool = False,
-                        allow_fused_decoder: bool = False):
+                        allow_fused_decoder: bool = False,
+                        allow_composed: bool = False):
         """One datapackage: K event steps then the image step, decoding after
         every modality update (dense supervision, model.py:176-217).
 
@@ -218,6 +223,10 @@ class ERGB2DepthRecurrent:
         keys during training — gradients are identical since unsupervised
         decodes don't feed the loss; reference decodes all).
         norm_ctx: layers.NormCtx for training-mode BN/IN.
+        allow_composed: permit the composed transposed-conv upsample layers
+        (explicit cfg.composed_decoder='on' opt-in from the inference
+        engines — per-package decode batches only reach the >=24 auto gate
+        at high lane counts anyway).
         """
         preds: Dict[str, Any] = {}
         loop = event_loop_range(cfg)
@@ -247,7 +256,8 @@ class ERGB2DepthRecurrent:
             if decode_keys is None or key in decode_keys:
                 preds[key] = statenet.forward_decoder(
                     params, cfg, state, norm_ctx=norm_ctx,
-                    allow_fused=allow_fused_decoder)
+                    allow_fused=allow_fused_decoder,
+                    allow_composed=allow_composed)
         if "image_cf" in pkg:
             img, layout = pkg["image_cf"], "NCHW"
         else:
@@ -260,13 +270,15 @@ class ERGB2DepthRecurrent:
         if decode_keys is None or "image" in decode_keys:
             preds["image"] = statenet.forward_decoder(
                 params, cfg, state, norm_ctx=norm_ctx,
-                allow_fused=allow_fused_decoder)
+                allow_fused=allow_fused_decoder,
+                allow_composed=allow_composed)
         return state, preds
 
     @staticmethod
     def forward_package_batched_decode(params, cfg: ModelConfig, state, pkg,
                                        allow_fused: bool = False,
-                                       allow_fused_decoder: bool = False):
+                                       allow_fused_decoder: bool = False,
+                                       allow_composed: bool = False):
         """Identical math to forward_package, but the K+1 decoder passes run
         as ONE batched pass: the per-step super-state pyramids are stacked
         on the batch dim and decoded together.  Decodes do not feed back
@@ -280,7 +292,8 @@ class ERGB2DepthRecurrent:
         state, stacked = _package_snapshot_step(params, cfg, state, pkg, keys,
                                                 allow_fused=allow_fused)
         batched_preds = statenet.forward_decoder_supers(
-            params, cfg, stacked, allow_fused=allow_fused_decoder)
+            params, cfg, stacked, allow_fused=allow_fused_decoder,
+            allow_composed=allow_composed)
         b = (pkg["image_cf"] if "image_cf" in pkg else pkg["image"]).shape[0]
         preds = {}
         for i, key in enumerate(keys):
@@ -294,7 +307,8 @@ class ERGB2DepthRecurrent:
                                         squeeze_preds: bool = False,
                                         package_precompute: bool = False,
                                         allow_fused: bool = False,
-                                        allow_fused_decoder: bool = False):
+                                        allow_fused_decoder: bool = False,
+                                        allow_composed: bool = False):
         """forward_sequence with ALL decodes deferred and batched: lax.scan
         runs only the sequential work (encoders + per-scale recurrent state
         combination), stacking the per-package super-state pyramids; ONE
@@ -360,7 +374,8 @@ class ERGB2DepthRecurrent:
         preds = _decode_snapshots(params, cfg, snapshots, sel_keys,
                                   img_t.shape[0], img_t.shape[1],
                                   squeeze_preds,
-                                  allow_fused_decoder=allow_fused_decoder)
+                                  allow_fused_decoder=allow_fused_decoder,
+                                  allow_composed=allow_composed)
         return final_state, preds
 
     @staticmethod
@@ -447,9 +462,11 @@ class ERGB2DepthRecurrent:
             xs = xs + (reset_t,)
         final_supers, snapshots = jax.lax.scan(
             step, tuple(state.super_states), xs)
-        # inference-only path: the fused Pallas decoder kernel is allowed
+        # inference-only path (~1 ulp already): fused Pallas decoder
+        # kernel + composed transposed-conv layers allowed
         preds = _decode_snapshots(params, cfg, snapshots, sel_keys, l, b,
-                                  squeeze_preds, allow_fused_decoder=True)
+                                  squeeze_preds, allow_fused_decoder=True,
+                                  allow_composed=True)
         return state._replace(super_states=final_supers), preds
 
     @staticmethod
@@ -549,7 +566,10 @@ class ERGB2Depth:
     def forward_package(params, cfg: ModelConfig, state, pkg,
                         decode_keys: Optional[Sequence[str]] = None,
                         norm_ctx=None, allow_fused: bool = False,
-                        allow_fused_decoder: bool = False):
+                        allow_fused_decoder: bool = False,
+                        allow_composed: bool = False):
+        # allow_composed accepted for engine-call compatibility; the UNet
+        # decoder has no upsample-conv layers to compose
         if "image_cf" in pkg:
             img, layout = pkg["image_cf"], "NCHW"
         else:

@@ -410,6 +410,24 @@ def _use_fused_decoder(cfg: ModelConfig, x, cout: int) -> bool:
     return upsample_conv.supports(x, cout)
 
 
+def _use_composed_decoder(cfg: ModelConfig, x) -> bool:
+    """cfg.composed_decoder policy for one upsample-conv layer: the
+    composed stride-2 transposed-conv formulation
+    (layers.upsample_conv_layer_composed_apply — pure XLA, differentiable,
+    sharding-safe).  auto = LARGE decode batches (>= 24) in bf16 on TPU:
+    measured 1.5-1.6x XLA on the two narrow layers at the 96-deep chunked
+    decode batch but a LOSS at latency-mode batches
+    (exp/decoder_composed_probe.json).  Callers gate with allow_composed
+    so the bit-identical deferred-decode contract survives by default."""
+    mode = getattr(cfg, "composed_decoder", "auto")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    return (jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16
+            and x.shape[0] >= 24)
+
+
 def supers_decoder_view(cfg: ModelConfig, supers: Tuple) -> Tuple:
     """decoder_view on a bare supers tuple (hidden parts only)."""
     return tuple(_super_hidden(cfg, s) for s in supers)
@@ -424,7 +442,8 @@ def decoder_view(cfg: ModelConfig, state: StateNetState) -> Tuple:
 
 
 def forward_decoder(params, cfg: ModelConfig, state: StateNetState,
-                    norm_ctx=None, allow_fused: bool = False):
+                    norm_ctx=None, allow_fused: bool = False,
+                    allow_composed: bool = False):
     """Shared decoder over the current super states (statenet.py:290-315).
 
     First decoder consumes the deepest super state (no skip); subsequent
@@ -432,18 +451,26 @@ def forward_decoder(params, cfg: ModelConfig, state: StateNetState,
     activation (sigmoid), NO head skip.
     """
     return forward_decoder_supers(params, cfg, decoder_view(cfg, state),
-                                  norm_ctx=norm_ctx, allow_fused=allow_fused)
+                                  norm_ctx=norm_ctx, allow_fused=allow_fused,
+                                  allow_composed=allow_composed)
 
 
 def forward_decoder_supers(params, cfg: ModelConfig, supers: Tuple,
-                           norm_ctx=None, allow_fused: bool = False):
+                           norm_ctx=None, allow_fused: bool = False,
+                           allow_composed: bool = False):
     """forward_decoder on a pre-extracted `decoder_view` tuple (per-scale
     hidden tensors).
 
     allow_fused: permit the fused Pallas upsample+5x5-conv decoder kernel
     (ops/upsample_conv.py; INFERENCE paths only — it defines no VJP) for
     norm-free sum/no_skip upsample-conv layers; cfg.fused_decoder policy +
-    shape support gate per layer."""
+    shape support gate per layer.
+    allow_composed: permit the composed transposed-conv upsample layers
+    (layers.upsample_conv_layer_composed_apply; differentiable, pure XLA
+    — float-summation-order deviation only).  Set by paths whose outputs
+    are already not bit-identical (the precomputed inference path) or
+    that opt in (deferred-decode training); cfg.composed_decoder policy +
+    batch-size gate per call (statenet._use_composed_decoder)."""
     x = supers[-1]
     for ri, rb in enumerate(params["resblocks"]):
         x = L.residual_block_apply(rb, x, cfg.norm,
@@ -452,6 +479,8 @@ def forward_decoder_supers(params, cfg: ModelConfig, supers: Tuple,
     fuse_layers = (allow_fused and cfg.use_upsample_conv
                    and not cfg.fast_upsample and cfg.norm is None
                    and cfg.skip_type in ("sum", "no_skip"))
+    composed_layers = (allow_composed and cfg.use_upsample_conv
+                       and not cfg.fast_upsample and cfg.norm is None)
     for i, dec in enumerate(params["decoders"]):
         skip_t = supers[n - i - 1] if i > 0 else None
         if fuse_layers and _use_fused_decoder(
@@ -462,6 +491,9 @@ def forward_decoder_supers(params, cfg: ModelConfig, supers: Tuple,
             continue
         if skip_t is not None:
             x = _skip(cfg, x, skip_t)
+        if composed_layers and _use_composed_decoder(cfg, x):
+            x = L.upsample_conv_layer_composed_apply(dec, x, "relu")
+            continue
         if cfg.use_upsample_conv:
             if cfg.fast_upsample:
                 x = L.upsample_conv_layer_fast_apply(

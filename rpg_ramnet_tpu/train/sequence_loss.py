@@ -182,10 +182,16 @@ def make_sequence_loss(cfg: Config, remat: bool = False,
             # custom VJP (round 3), so the sequential critical path of the
             # TRAINING scan may run them; cfg.model.fused_gru policy +
             # shape support still gate per scale (statenet._use_fused_cell)
+            # allow_composed: the composed transposed-conv decoder layers
+            # (differentiable, pure XLA) on the L*B*|keys|-deep deferred
+            # decode batch — auto-gated to bf16 + batch>=24 on TPU
+            # (statenet._use_composed_decoder); loss/gradients deviate
+            # only in float summation order there (set
+            # model.composed_decoder='off' for exactness)
             _, preds = model.forward_sequence_batched_decode(
                 params, mcfg, state0, seq_in, decode_keys=keys, remat=remat,
                 squeeze_preds=True, package_precompute=pre_x,
-                allow_fused=pre_x)
+                allow_fused=pre_x, allow_composed=True)
         else:
             _, preds = model.forward_sequence(params, mcfg, state0, seq_in,
                                               decode_keys=keys, remat=remat,

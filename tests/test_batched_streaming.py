@@ -529,3 +529,50 @@ def test_chunked_streaming_stateless_arch(test_split):
     assert set(got2) == set(ref)
     for idx in ref:
         np.testing.assert_allclose(got2[idx], ref[idx], atol=1e-5, rtol=1e-5)
+
+
+def test_composed_decoder_optin_through_engines(test_split):
+    """cfg.composed_decoder='on' routes the inference engines through the
+    composed transposed-conv upsample layers (an explicit opt-in — 'auto'
+    keeps streaming paths bit-identical): run_chunked_streaming,
+    run_batched_streaming, and the latency-mode StreamingInference
+    (batched_decode) all match the default path within float tolerance."""
+    import dataclasses
+    from rpg_ramnet_tpu.eval.inference import (run_chunked_streaming,
+                                               run_batched_streaming)
+    cfg = tiny_config(every_x_rgb_frame=3)
+    mcfg = cfg.model
+    mcfg_on = dataclasses.replace(mcfg, composed_decoder="on")
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    dataset = concatenate_subfolders(
+        test_split, "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+        "depth/data", "rgb/data", sequence_length=1, step_size=1,
+        clip_distance=80.0, every_x_rgb_frame=3, reg_factor=3.70378,
+        transform=CenterCrop(32))
+
+    ref, got = {}, {}
+    run_chunked_streaming(
+        dataset, params, mcfg, chunk=4,
+        on_prediction=lambda g, p, item, sp: ref.__setitem__(g, p["image"]))
+    run_chunked_streaming(
+        dataset, params, mcfg_on, chunk=4,
+        on_prediction=lambda g, p, item, sp: got.__setitem__(g, p["image"]))
+    assert set(got) == set(ref)
+    for idx in ref:
+        np.testing.assert_allclose(got[idx], ref[idx], atol=1e-5, rtol=1e-5,
+                                   err_msg=f"chunked idx={idx}")
+
+    lanes = {}
+    run_batched_streaming(
+        dataset, params, mcfg_on, n_lanes=2,
+        on_prediction=lambda g, p, item, sp: lanes.__setitem__(g, p["image"]))
+    assert set(lanes) == set(ref)
+    for idx in ref:
+        np.testing.assert_allclose(lanes[idx], ref[idx], atol=1e-5, rtol=1e-5,
+                                   err_msg=f"lanes idx={idx}")
+
+    eng = StreamingInference(params, mcfg_on, batched_decode=True)
+    eng.reset(1, 32, 32)
+    item, _ = dataset[0]
+    preds = eng.step({"events": item["events"][0], "image": item["image"][0]})
+    np.testing.assert_allclose(preds["image"], ref[0], atol=1e-5, rtol=1e-5)

@@ -506,3 +506,63 @@ def test_sortseg_fused_stats_normalize():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want2),
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got), want_np, atol=1e-3)
+
+
+def test_composed_upsample_conv_matches_reference():
+    """Composed stride-2 transposed-conv formulation of bilinear-2x + 5x5
+    conv (layers.upsample_conv_layer_composed_apply) == the two-stage
+    layer, forward AND gradient, including all borders/corners."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import layers as L
+
+    rng = np.random.RandomState(2)
+    for (B, H, W, C, Cout) in ((2, 16, 24, 8, 8), (1, 8, 8, 16, 8),
+                               (1, 32, 16, 8, 16)):
+        p = L.upsample_conv_layer_init(jax.random.PRNGKey(0), C, Cout, 5,
+                                       None, jnp.float32)
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        ref = L.upsample_conv_layer_apply(p, x, 2, "relu", None)
+        got = L.upsample_conv_layer_composed_apply(p, x, "relu")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=str((B, H, W, C, Cout)))
+
+        def loss_ref(p, x):
+            return jnp.sum(jnp.sin(L.upsample_conv_layer_apply(
+                p, x, 2, "relu", None)))
+
+        def loss_comp(p, x):
+            return jnp.sum(jnp.sin(L.upsample_conv_layer_composed_apply(
+                p, x, "relu")))
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(p, x)
+        g_comp = jax.grad(loss_comp, argnums=(0, 1))(p, x)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3),
+            g_ref, g_comp)
+
+
+def test_composed_decoder_full_forward_matches():
+    """forward_decoder_supers with composed_decoder='on' + allow_composed
+    == the standard decoder (f32, CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import statenet
+    from test_train import tiny_config
+
+    cfg = tiny_config(composed_decoder="on").model
+    params = statenet.init_params(jax.random.PRNGKey(4), cfg)
+    rng = np.random.RandomState(6)
+    B, H, W = 2, 32, 32
+    supers = tuple(
+        jnp.asarray(rng.randn(B, H // (2 ** (i + 1)), W // (2 ** (i + 1)),
+                              cfg.base_num_channels * 2 ** (i + 1))
+                    .astype(np.float32))
+        for i in range(cfg.num_encoders))
+    ref = statenet.forward_decoder_supers(params, cfg, supers)
+    got = statenet.forward_decoder_supers(params, cfg, supers,
+                                          allow_composed=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
