@@ -237,7 +237,8 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
 
 def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
                      dtype="float32", remat=True, remat_chunk=1,
-                     deferred_decode=False, precompute_x=False):
+                     deferred_decode=False, precompute_x=False,
+                     remat_policy="none"):
     """Full TBPTT training-step throughput (the reference recipe: batch 8,
     sequence 10, 224x224 random crops, SI + multi-scale-grad loss) in
     sequences/sec.  Loop-in-jit timing like the fps bench.
@@ -266,7 +267,8 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
                     "loss_composition": ["image", "events4"],
                     "loss_weights": [1, 1], "remat_chunk": remat_chunk,
                     "deferred_decode": deferred_decode,
-                    "precompute_x": precompute_x},
+                    "precompute_x": precompute_x,
+                    "remat_policy": remat_policy},
         "model": {"num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
                   "recurrent_block_type": "conv", "state_combination": "convgru",
                   "num_encoders": 3, "base_num_channels": 32,
@@ -566,6 +568,17 @@ def main():
             details["lane32_bf16_roofline"] = l32
         except Exception as e:
             details["jax_fps_32lane_bf16_throughput_error"] = str(e)
+        try:
+            # lane-batched record (round 3): the composed decoder's smaller
+            # footprint unlocks 64 lanes on this rig (two-stage >32 lanes
+            # exceeds the remote-compile helper); explicit opt-in since the
+            # composed layers deviate in float summation order
+            details["jax_fps_64lane_bf16_composed_throughput"] = \
+                bench_jax_fps(lanes=64, n_hi=4, dtype="bfloat16",
+                              batched_decode=True, composed_decoder="on")
+        except Exception as e:
+            details["jax_fps_64lane_bf16_composed_throughput_error"] = \
+                str(e)[:300]
         try:
             details["jax_fps_single_stream_bf16"] = bench_jax_fps(
                 lanes=1, dtype="bfloat16")

@@ -188,6 +188,12 @@ class TrainerConfig:
     # recurrent_block_type='conv' + convgru; gradients equal to float
     # summation order — NOT bitwise)
     precompute_x: bool = False
+    # what the per-step jax.checkpoint SAVES: 'none' = recompute the whole
+    # step in the backward (minimum memory); 'enc_out' = save the per-scale
+    # encoder conv outputs (checkpoint_name tags in statenet) so the
+    # backward skips the head+encoder recompute at ~2.7 GiB extra
+    # activations for the flagship recipe.  '+'-join to save several tags.
+    remat_policy: str = "none"
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "TrainerConfig":
@@ -217,6 +223,7 @@ class TrainerConfig:
             remat_chunk=int(d.get("remat_chunk", 1)),
             deferred_decode=bool(d.get("deferred_decode", False)),
             precompute_x=bool(d.get("precompute_x", False)),
+            remat_policy=str(d.get("remat_policy", "none")),
         )
 
 

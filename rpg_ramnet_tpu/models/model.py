@@ -39,6 +39,19 @@ def prediction_keys(cfg: ModelConfig) -> Tuple[str, ...]:
     return tuple(f"events{k}" for k in range(event_loop_range(cfg))) + ("image",)
 
 
+def _checkpoint_with_policy(step, remat_policy):
+    """jax.checkpoint for the per-package scan step.  remat_policy: None /
+    'none' = save nothing (recompute the whole step in the backward);
+    otherwise a '+'-joined list of checkpoint_name tags to SAVE (e.g.
+    'enc_out' — statenet tags the per-scale encoder conv outputs), trading
+    activation HBM for skipped recompute (trainer.remat_policy)."""
+    if not remat_policy or remat_policy == "none":
+        return jax.checkpoint(step)
+    pol = jax.checkpoint_policies.save_only_these_names(
+        *remat_policy.split("+"))
+    return jax.checkpoint(step, policy=pol)
+
+
 _TL_RENAME = {"events_tcf": "events_cf", "image_tcf": "image_cf",
               "times_events_t": "times_events", "times_image_t": "times_image",
               "reset_t": "reset"}
@@ -308,7 +321,8 @@ class ERGB2DepthRecurrent:
                                         package_precompute: bool = False,
                                         allow_fused: bool = False,
                                         allow_fused_decoder: bool = False,
-                                        allow_composed: bool = False):
+                                        allow_composed: bool = False,
+                                        remat_policy: Optional[str] = None):
         """forward_sequence with ALL decodes deferred and batched: lax.scan
         runs only the sequential work (encoders + per-scale recurrent state
         combination), stacking the per-package super-state pyramids; ONE
@@ -366,7 +380,7 @@ class ERGB2DepthRecurrent:
                            allow_fused=allow_fused)
 
         if remat:
-            step = jax.checkpoint(step)
+            step = _checkpoint_with_policy(step, remat_policy)
 
         seq_t = _time_leading_seq(seq)
         final_state, snapshots = jax.lax.scan(step, state, seq_t)
@@ -473,7 +487,8 @@ class ERGB2DepthRecurrent:
     def forward_sequence(params, cfg: ModelConfig, state, seq,
                          decode_keys: Optional[Sequence[str]] = None,
                          remat: bool = False, squeeze_preds: bool = False,
-                         norm_stats=None, remat_chunk: int = 1):
+                         norm_stats=None, remat_chunk: int = 1,
+                         remat_policy: Optional[str] = None):
         """seq: {'events': [B, L, K, H, W, Ce], 'image': [B, L, H, W, Ci]}
         (or the channel-first variants 'events_cf' [B, L, K, Ce, H, W] /
         'image_cf' [B, L, Ci, H, W] — see forward_package).
@@ -524,7 +539,7 @@ class ERGB2DepthRecurrent:
             step = one_package
 
         if remat:
-            step = jax.checkpoint(step)
+            step = _checkpoint_with_policy(step, remat_policy)
         seq_t = _time_leading_seq(seq)
         if remat_chunk > 1:
             # group the time axis: [L, ...] -> [L/chunk, chunk, ...]

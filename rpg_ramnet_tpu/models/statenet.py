@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from ..core.config import ModelConfig
@@ -221,6 +222,11 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
         if cfg.recurrent_block_type == "conv":
             x = L.conv_layer_apply(encoders[i], x, 2, 2, "relu", cfg.norm,
                                    ctx=norm_ctx, path=f"{enc_name}.{i}")
+            # remat-policy tag (trainer.remat_policy='enc_out'): lets the
+            # per-step jax.checkpoint SAVE the per-scale encoder outputs so
+            # the backward skips the head+encoder conv recompute.  Identity
+            # outside a policy'd checkpoint.
+            x = jax.ad_checkpoint.checkpoint_name(x, "enc_out")
         elif cfg.use_phased_arch:
             t = times if times is not None else jnp.zeros((x.shape[0],), x.dtype)
             x, enc_st = L.recurrent_phased_conv_layer_apply(

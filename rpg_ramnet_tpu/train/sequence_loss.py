@@ -191,12 +191,13 @@ def make_sequence_loss(cfg: Config, remat: bool = False,
             _, preds = model.forward_sequence_batched_decode(
                 params, mcfg, state0, seq_in, decode_keys=keys, remat=remat,
                 squeeze_preds=True, package_precompute=pre_x,
-                allow_fused=pre_x, allow_composed=True)
+                allow_fused=pre_x, allow_composed=True,
+                remat_policy=getattr(cfg.trainer, "remat_policy", "none"))
         else:
-            _, preds = model.forward_sequence(params, mcfg, state0, seq_in,
-                                              decode_keys=keys, remat=remat,
-                                              squeeze_preds=True,
-                                              remat_chunk=rc)
+            _, preds = model.forward_sequence(
+                params, mcfg, state0, seq_in, decode_keys=keys, remat=remat,
+                squeeze_preds=True, remat_chunk=rc,
+                remat_policy=getattr(cfg.trainer, "remat_policy", "none"))
         if "image_tcf" in batch:
             l_steps = batch["image_tcf"].shape[0]
         else:

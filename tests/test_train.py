@@ -469,3 +469,42 @@ def test_precompute_x_fused_training_grads_match(monkeypatch, comb):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 atol=5e-5, rtol=1e-3),
         outs["unfused"][1], outs["fused"][1])
+
+
+def test_remat_policy_equivalence():
+    """trainer.remat_policy='enc_out' saves the tagged per-scale encoder
+    outputs inside the per-step jax.checkpoint (backward skips the
+    head+encoder recompute); loss and every gradient must be identical to
+    the save-nothing default — on BOTH the deferred-decode and in-scan
+    paths."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+    from rpg_ramnet_tpu.core.config import Config
+    rng = np.random.RandomState(0)
+    B, L, K, H, W = 2, 2, 3, 16, 16
+    batch = {"events": jnp.asarray(rng.randn(B, L, K, H, W, 5).astype(np.float32)),
+             "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+             "depth_events": jnp.asarray(rng.rand(B, L, K, H, W, 1).astype(np.float32)),
+             "depth_image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32))}
+    for deferred in (False, True):
+        cfg1 = Config.from_dict({**tiny_config().raw,
+                                 "trainer": {**tiny_config().raw["trainer"],
+                                             "deferred_decode": deferred}})
+        cfg2 = Config.from_dict({**cfg1.raw,
+                                 "trainer": {**cfg1.raw["trainer"],
+                                             "remat_policy": "enc_out"}})
+        params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0),
+                                                 cfg1.model)
+        state0 = ERGB2DepthRecurrent.init_state(cfg1.model, B, H, W)
+        outs = {}
+        for name, cfg in (("none", cfg1), ("enc_out", cfg2)):
+            loss_fn = make_sequence_loss(cfg, remat=True)
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, state0, batch)
+            outs[name] = (float(loss), grads)
+        assert abs(outs["none"][0] - outs["enc_out"][0]) < 1e-6, deferred
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6,
+                err_msg=f"deferred={deferred}"),
+            outs["none"][1], outs["enc_out"][1])
