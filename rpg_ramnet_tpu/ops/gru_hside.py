@@ -121,6 +121,120 @@ def _kernel_res(h_prev, h_cur, h_next, gxz, gxr_prev, gxr_cur, gxr_next, gxo,
         h_new.dtype)
 
 
+def _halos(x, tile_h: int, rows: int):
+    """Skinny halo side-arrays for an H-tiled [B, H, W, C] array:
+    top[:, i] = rows [i*tile_h - rows, i*tile_h) and bot[:, i] = rows
+    [(i+1)*tile_h, +rows), gathered OUTSIDE the kernel with XLA slices
+    (reads only rows*n rows of x) and rolled by one tile.  Edge blocks
+    receive rolled-in garbage — kernels mask out-of-range rows to zero."""
+    B, H, W, C = x.shape
+    n = H // tile_h
+    xr = x.reshape(B, n, tile_h, W, C)
+    top = jnp.roll(xr[:, :, -rows:], 1, axis=1)
+    bot = jnp.roll(xr[:, :, :rows], -1, axis=1)
+    return top, bot
+
+
+def _gru_cell_math_v2(h_cur, h_top, h_bot, gxz, gxr_cur, gxr_top, gxr_bot,
+                      gxo, w_ur, w_o, *, tile_h: int, H: int, W: int, C: int):
+    """v2 body: identical math to _gru_cell_math, but the 2-row h halo and
+    1-row gxr halo arrive as separate skinny side-arrays (_halos) instead of
+    prev/next BlockSpecs on the full arrays — each HBM plane is read ONCE
+    (~5 planes/cell vs v1's ~11; v1 measured 4x off the HBM roofline at the
+    flagship scale-0, exp/fused_cell_roofline.json)."""
+    i = pl.program_id(1)
+    dt = h_cur.dtype
+    hb = jnp.concatenate([h_top[0, 0], h_cur[0], h_bot[0, 0]], axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 4, 1, 1), 0) \
+        + i * tile_h - 2
+    hb = jnp.where((row >= 0) & (row < H), hb, jnp.zeros_like(hb))
+
+    ur = _conv9(hb, w_ur, tile_h + 2, C).reshape(tile_h + 2, W, 2 * C)
+    gxr = jnp.concatenate([gxr_top[0, 0], gxr_cur[0], gxr_bot[0, 0]], axis=0)
+    r = jax.nn.sigmoid(ur[..., C:] + gxr.astype(jnp.float32))
+    z = jax.nn.sigmoid(ur[1:tile_h + 1, :, :C] + gxz[0].astype(jnp.float32))
+
+    # garbage r halo rows at the image border are harmless: a = r*h and the
+    # out-of-range h rows are masked zero (the zero padding the reference
+    # conv sees)
+    a = (r * hb[1:tile_h + 3].astype(jnp.float32)).astype(dt)
+    out_g = jnp.tanh(_conv9(a, w_o, tile_h, C).reshape(tile_h, W, C)
+                     + gxo[0].astype(jnp.float32))
+    h_int = hb[2:tile_h + 2].astype(jnp.float32)
+    h_new = (h_int * (1.0 - z) + out_g * z).astype(dt)
+    return h_new, z, r[1:tile_h + 1], out_g
+
+
+def _kernel_v2(h_cur, h_top, h_bot, gxz, gxr_cur, gxr_top, gxr_bot, gxo,
+               w_ur, w_o, out_ref, *, tile_h: int, H: int, W: int, C: int):
+    h_new, _, _, _ = _gru_cell_math_v2(
+        h_cur, h_top, h_bot, gxz, gxr_cur, gxr_top, gxr_bot, gxo,
+        w_ur, w_o, tile_h=tile_h, H=H, W=W, C=C)
+    out_ref[0] = h_new
+
+
+def _kernel_v2_res(h_cur, h_top, h_bot, gxz, gxr_cur, gxr_top, gxr_bot, gxo,
+                   w_ur, w_o, out_ref, acts_ref, *, tile_h: int, H: int,
+                   W: int, C: int):
+    h_new, z, r_c, out_g = _gru_cell_math_v2(
+        h_cur, h_top, h_bot, gxz, gxr_cur, gxr_top, gxr_bot, gxo,
+        w_ur, w_o, tile_h=tile_h, H=H, W=W, C=C)
+    out_ref[0] = h_new
+    acts_ref[0] = jnp.concatenate([z, r_c, out_g], axis=-1).astype(
+        h_new.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret",
+                                             "residuals"))
+def _run_v2(h, gxz, gxr, gxo, w_ur, w_o, tile_h, interpret=False,
+            residuals=False):
+    B, H, W, C = h.shape
+    n = H // tile_h
+    h_top, h_bot = _halos(h, tile_h, 2)
+    gxr_top, gxr_bot = _halos(gxr, tile_h, 1)
+    blk = lambda ch=C: pl.BlockSpec((1, tile_h, W, ch),       # noqa: E731
+                                    lambda b, i: (b, i, 0, 0))
+    halo = lambda rows: pl.BlockSpec((1, 1, rows, W, C),      # noqa: E731
+                                     lambda b, i: (b, i, 0, 0, 0))
+    cur = blk()
+    wspec_ur = pl.BlockSpec((3, 3 * C, 2 * C), lambda b, i: (0, 0, 0))
+    wspec_o = pl.BlockSpec((3, 3 * C, C), lambda b, i: (0, 0, 0))
+    if residuals:
+        kern = _kernel_v2_res
+        out_shape = (jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
+                     jax.ShapeDtypeStruct((B, H, W, 3 * C), h.dtype))
+        out_specs = (cur, pl.BlockSpec((1, tile_h, W, 3 * C),
+                                       lambda b, i: (b, i, 0, 0)))
+    else:
+        kern = _kernel_v2
+        out_shape = jax.ShapeDtypeStruct((B, H, W, C), h.dtype)
+        out_specs = cur
+    return pl.pallas_call(
+        functools.partial(kern, tile_h=tile_h, H=H, W=W, C=C),
+        out_shape=out_shape,
+        grid=(B, n),
+        in_specs=[cur, halo(2), halo(2),   # h + 2-row halos
+                  cur,                     # gx_z
+                  cur, halo(1), halo(1),   # gx_r + 1-row halos
+                  cur,                     # gx_o
+                  wspec_ur, wspec_o],
+        out_specs=out_specs,
+        interpret=interpret,
+    )(h, h_top, h_bot, gxz, gxr, gxr_top, gxr_bot, gxo, w_ur, w_o)
+
+
+# Dispatch flag for the GRU h-side implementation: v2 (halo side-arrays,
+# single read per plane) vs v1 (neighbor-block re-reads).  Module-level so
+# tests can exercise both.
+_GRU_V2 = False
+
+
+def _run_hside(h, gxz, gxr, gxo, w_ur, w_o, tile_h, interpret=False,
+               residuals=False):
+    run = _run_v2 if _GRU_V2 else _run
+    return run(h, gxz, gxr, gxo, w_ur, w_o, tile_h, interpret, residuals)
+
+
 def _pick_tile_h(H: int, W: int, C: int, esize: int,
                  budget: int = 512 * 1024) -> int:
     """Largest H-tile whose ~9 double-buffered operand blocks + temps fit
@@ -318,8 +432,8 @@ def _gru_hside_cell(tile_h, interpret, p, gx, prev_state):
         [p["update_gate"]["weight"][:, :, -C:],
          p["reset_gate"]["weight"][:, :, -C:]], axis=-1)).astype(dt)
     w_o = _fold3(p["out_gate"]["weight"][:, :, -C:]).astype(dt)
-    return _run(prev_state, gx[..., :C], gx[..., C:2 * C], gx[..., 2 * C:],
-                w_ur, w_o, tile_h, interpret)
+    return _run_hside(prev_state, gx[..., :C], gx[..., C:2 * C],
+                      gx[..., 2 * C:], w_ur, w_o, tile_h, interpret)
 
 
 def _gru_hside_fwd(tile_h, interpret, p, gx, prev_state):
@@ -329,9 +443,9 @@ def _gru_hside_fwd(tile_h, interpret, p, gx, prev_state):
         [p["update_gate"]["weight"][:, :, -C:],
          p["reset_gate"]["weight"][:, :, -C:]], axis=-1)).astype(dt)
     w_o = _fold3(p["out_gate"]["weight"][:, :, -C:]).astype(dt)
-    h_new, acts = _run(prev_state, gx[..., :C], gx[..., C:2 * C],
-                       gx[..., 2 * C:], w_ur, w_o, tile_h, interpret,
-                       residuals=True)
+    h_new, acts = _run_hside(prev_state, gx[..., :C], gx[..., C:2 * C],
+                             gx[..., 2 * C:], w_ur, w_o, tile_h, interpret,
+                             residuals=True)
     return h_new, (p, gx, prev_state, acts)
 
 

@@ -250,6 +250,8 @@ def test_fused_gru_hside_kernel_matches_reference():
     from rpg_ramnet_tpu.models import layers as L
     from rpg_ramnet_tpu.ops.gru_hside import conv_gru_hside_fused, supports
 
+    from rpg_ramnet_tpu.ops import gru_hside
+
     rng = np.random.RandomState(0)
     for (B, H, W, C) in ((1, 32, 24, 8), (2, 16, 16, 16), (1, 8, 8, 8)):
         p = L.conv_gru_init(jax.random.PRNGKey(0), C, C, 3, jnp.float32)
@@ -260,10 +262,18 @@ def test_fused_gru_hside_kernel_matches_reference():
         # validates the math in f32
         assert supports(h.astype(jnp.bfloat16))
         ref = L.conv_gru_apply_hside(p, gx, h)
-        got = conv_gru_hside_fused(p, gx, h, interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=1e-5, rtol=1e-5,
-                                   err_msg=str((B, H, W, C)))
+        # both kernel generations: v1 (neighbor-block halos) and v2
+        # (skinny halo side-arrays)
+        for v2 in (False, True):
+            old = gru_hside._GRU_V2
+            gru_hside._GRU_V2 = v2
+            try:
+                got = conv_gru_hside_fused(p, gx, h, interpret=True)
+            finally:
+                gru_hside._GRU_V2 = old
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=str((B, H, W, C, v2)))
     # unsupported: odd H, f32 on hardware
     assert not supports(jnp.zeros((1, 9, 16, 8), jnp.bfloat16))
     assert not supports(jnp.zeros((1, 16, 16, 8), jnp.float32))
@@ -374,12 +384,19 @@ def test_fused_cells_custom_vjp_matches_unfused():
         return jnp.sum(jnp.sin(conv_gru_hside_fused(p, gx, h,
                                                     interpret=True)))
 
+    from rpg_ramnet_tpu.ops import gru_hside
     ref = jax.grad(loss_ref, argnums=(0, 1, 2))(p, gx, h)
-    got = jax.grad(loss_fused, argnums=(0, 1, 2))(p, gx, h)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                                atol=2e-5, rtol=1e-4),
-        ref, got)
+    for v2 in (False, True):   # both kernel generations (residual variants)
+        old = gru_hside._GRU_V2
+        gru_hside._GRU_V2 = v2
+        try:
+            got = jax.grad(loss_fused, argnums=(0, 1, 2))(p, gx, h)
+        finally:
+            gru_hside._GRU_V2 = old
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+            ref, got)
 
     pl_ = L.conv_lstm_init(jax.random.PRNGKey(1), C, C, 3, jnp.float32)
     c = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
