@@ -137,7 +137,7 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
 def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
                       dtype="float32", with_costs=False, precompute=False,
                       fused_gru="auto", fused_decoder="auto",
-                      composed_decoder="auto"):
+                      composed_decoder="auto", scan_unroll=1):
     """Offline chunked streaming (test.py --scan_chunk semantics): scan the
     sequential encoder+GRU work over L packages, decode ALL L*(K+1)
     snapshots in ONE batch (model.forward_sequence_batched_decode; outputs
@@ -189,7 +189,7 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
                         allow_composed=allow_comp)
             elif precompute:
                 st, preds = ERGB2DepthRecurrent.forward_sequence_precomputed(
-                    params, mcfg, st, seq_i)
+                    params, mcfg, st, seq_i, unroll=scan_unroll)
             else:
                 # allow_fused_decoder matches the inference engines
                 # (eval/inference.py): the fused Pallas decoder kernel on

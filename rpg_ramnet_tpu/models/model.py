@@ -395,7 +395,9 @@ class ERGB2DepthRecurrent:
     @staticmethod
     def forward_sequence_precomputed(params, cfg: ModelConfig, state, seq,
                                      decode_keys: Optional[Sequence[str]] = None,
-                                     squeeze_preds: bool = False):
+                                     squeeze_preds: bool = False,
+                                     unroll: int = 1,
+                                     chunk_cells: bool = False):
         """forward_sequence_batched_decode with the per-step x-side work ALSO
         hoisted out of the scan: for recurrent_block_type='conv' +
         state_combination='convgru' (the flagship recipe) the encoder chain
@@ -463,6 +465,46 @@ class ERGB2DepthRecurrent:
         # cost a traced select over every state leaf per step
         reset_t = seq_t.get("reset")
 
+        if chunk_cells:
+            # opt-in: run ALL S = l*(K+1) sequential h-side completions of
+            # each scale in ONE resident-state Pallas call (ops/gru_chunk)
+            # instead of a lax.scan of per-step cells — h stays in VMEM
+            # for the whole chunk, only the x-side gates stream in.
+            from ..ops import gru_chunk
+            if (cfg.state_combination != "convgru" or b != 1
+                    or reset_t is not None
+                    or not all(gru_chunk.supports(s)
+                               for s in state.super_states)):
+                raise ValueError(
+                    "chunk_cells requires convgru state combination, "
+                    "batch 1, no reset mask, and bf16 super states within "
+                    "the kernel's VMEM envelope")
+            sel_pos = [loop if k == "image" else int(k[len("events"):])
+                       for k in sel_keys]
+            combs_ev = params["state_combination_events"]
+            combs_im = params["state_combination_images"]
+            new_supers, snaps_scales = [], []
+            for i, h0 in enumerate(state.super_states):
+                gev = gx_ev[i].reshape((l * loop,) + gx_ev[i].shape[3:])
+                gim = gx_im[i].reshape((l,) + gx_im[i].shape[2:])
+                gseq = jnp.concatenate(
+                    [gev.reshape((l, loop) + gev.shape[1:]),
+                     gim[:, None]], axis=1).reshape(
+                         (l * (loop + 1),) + gev.shape[1:])
+                snaps = gru_chunk.conv_gru_hside_chunk(
+                    combs_ev[i]["recurrent_block"],
+                    combs_im[i]["recurrent_block"], gseq, h0, K=loop)
+                new_supers.append(snaps[-1:])
+                per_pkg = snaps.reshape((l, loop + 1) + snaps.shape[1:])
+                snaps_scales.append(
+                    per_pkg if sel_pos == list(range(loop + 1))
+                    else per_pkg[:, jnp.asarray(sel_pos)])
+            preds = _decode_snapshots(params, cfg, tuple(snaps_scales),
+                                      sel_keys, l, b, squeeze_preds,
+                                      allow_fused_decoder=True,
+                                      allow_composed=True)
+            return state._replace(super_states=tuple(new_supers)), preds
+
         def step(supers, gx):
             reset = gx[2] if len(gx) == 3 else None
             supers = _apply_reset(reset, supers)
@@ -474,8 +516,12 @@ class ERGB2DepthRecurrent:
         xs = (tuple(gx_ev), tuple(gx_im))
         if reset_t is not None:
             xs = xs + (reset_t,)
+        # unroll: merge scan bodies so the per-step snapshot
+        # dynamic-update-slices get static offsets and XLA fuses the loop
+        # glue (the record trace charges ~0.56 ms/pkg to while-loop
+        # bookkeeping around 1.07 ms of cell work)
         final_supers, snapshots = jax.lax.scan(
-            step, tuple(state.super_states), xs)
+            step, tuple(state.super_states), xs, unroll=unroll)
         # inference-only path (~1 ulp already): fused Pallas decoder
         # kernel + composed transposed-conv layers allowed
         preds = _decode_snapshots(params, cfg, snapshots, sel_keys, l, b,

@@ -408,6 +408,60 @@ def test_sequence_precomputed_rejects_unsupported_config():
             params, mcfg, state0, {})
 
 
+def test_sequence_precomputed_chunk_cells_matches_scan():
+    """forward_sequence_precomputed(chunk_cells=True) — the whole-chunk
+    resident-state Pallas h-side kernel (ops/gru_chunk.py, interpret mode
+    on CPU) — must match the per-step scan path to bf16 tolerance, and
+    reject unsupported shapes loudly."""
+    from rpg_ramnet_tpu.ops import gru_chunk
+    cfg = tiny_config(every_x_rgb_frame=3, compute_dtype="bfloat16")
+    mcfg = cfg.model
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(7), mcfg)
+    rng = np.random.default_rng(3)
+    B, L, K, H, W = 1, 3, 3, 32, 32
+    seq = {"events": rng.standard_normal(
+               (B, L, K, H, W, mcfg.num_bins_events)).astype(np.float32),
+           "image": rng.standard_normal(
+               (B, L, H, W, mcfg.num_bins_rgb)).astype(np.float32)}
+    import jax.numpy as jnp
+    state0 = ERGB2DepthRecurrent.init_state(mcfg, B, H, W,
+                                            dtype=jnp.bfloat16)
+    s_ref, p_ref = ERGB2DepthRecurrent.forward_sequence_precomputed(
+        params, mcfg, state0, seq)
+    gru_chunk._INTERPRET = True
+    try:
+        s_ck, p_ck = ERGB2DepthRecurrent.forward_sequence_precomputed(
+            params, mcfg, state0, seq, chunk_cells=True)
+        # decode_keys subset exercises the snapshot position gather
+        _, p_sub = ERGB2DepthRecurrent.forward_sequence_precomputed(
+            params, mcfg, state0, seq, decode_keys=("events1", "image"),
+            chunk_cells=True)
+    finally:
+        gru_chunk._INTERPRET = False
+    assert set(p_ref) == set(p_ck)
+    for k in p_ref:
+        np.testing.assert_allclose(
+            np.asarray(p_ck[k], np.float32), np.asarray(p_ref[k], np.float32),
+            atol=2e-2, rtol=0, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-2, rtol=0), s_ref, s_ck)
+    assert set(p_sub) == {"events1", "image"}
+    for k in p_sub:
+        np.testing.assert_allclose(
+            np.asarray(p_sub[k], np.float32), np.asarray(p_ref[k], np.float32),
+            atol=2e-2, rtol=0, err_msg=k)
+
+    # batch > 1 (the VMEM-resident h is single-lane) must raise
+    state_b2 = ERGB2DepthRecurrent.init_state(mcfg, 2, H, W,
+                                              dtype=jnp.bfloat16)
+    seq_b2 = {k: np.repeat(v, 2, axis=0) for k, v in seq.items()}
+    with pytest.raises(ValueError, match="chunk_cells"):
+        ERGB2DepthRecurrent.forward_sequence_precomputed(
+            params, mcfg, state_b2, seq_b2, chunk_cells=True)
+
+
 def test_batched_chunked_streaming_equals_single_lane(test_split):
     """run_batched_chunked_streaming (lanes x chunk, per-step reset masks in
     the scan for mid-chunk sequence boundaries) == single-lane streaming,
