@@ -401,16 +401,12 @@ def _make_sortseg_kernel(hw: int, with_stats: bool = False):
     return _sortseg_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_bins", "height", "width",
-                                             "with_stats"))
-def events_to_voxel_grid_sortseg(events, n_valid, *, num_bins: int,
-                                 height: int, width: int,
-                                 with_stats: bool = False):
-    """Voxelizer v2: ONE sort of the events by left-contribution cell (the
-    right-bilinear stream is the same order at +height*width), then a Pallas
-    kernel sweeps narrow cell windows over each sorted chunk — a
-    data-dependent while loop hops across empty windows, so sparse inputs
-    stay correct and dense inputs take ~2-3 window passes per 1024 events."""
+def sortseg_prep(events, n_valid, *, num_bins: int, height: int, width: int):
+    """Everything the sortseg voxelizer does BEFORE its Pallas sweep: the
+    bilinear time split into left/right contribution streams, the ONE global
+    lax.sort by flat left-cell index, and the chunk padding/reshape.  Exposed
+    separately so the benchmark can report the sort+prep vs kernel-sweep
+    split (the global sort is the design's roofline term — PERF.md)."""
     n = events.shape[0]
     t = events[:, 0]
     first = t[0]
@@ -425,7 +421,6 @@ def events_to_voxel_grid_sortseg(events, n_valid, *, num_bins: int,
     in_range = jnp.arange(n, dtype=jnp.int32) < n_valid
 
     hw = height * width
-    cells = num_bins * hw
     left_idx = tis * hw + ys * width + xs
     left_ok = in_range & (tis < num_bins)
     # invalid left: park at cell 0 with 0.0; the right stream (idx+hw) then
@@ -439,10 +434,30 @@ def events_to_voxel_grid_sortseg(events, n_valid, *, num_bins: int,
 
     chunk = _SEG_SUB * _LANE
     m_pad = _round_up(n, chunk)
-    n_chunks = m_pad // chunk
     idx_s = jnp.pad(idx_s, (0, m_pad - n)).reshape(-1, _LANE)
     vl_s = jnp.pad(vl_s, (0, m_pad - n)).reshape(-1, _LANE)
     vr_s = jnp.pad(vr_s, (0, m_pad - n)).reshape(-1, _LANE)
+    return idx_s, vl_s, vr_s
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "height", "width",
+                                             "with_stats"))
+def events_to_voxel_grid_sortseg(events, n_valid, *, num_bins: int,
+                                 height: int, width: int,
+                                 with_stats: bool = False):
+    """Voxelizer v2: ONE sort of the events by left-contribution cell (the
+    right-bilinear stream is the same order at +height*width), then a Pallas
+    kernel sweeps narrow cell windows over each sorted chunk — a
+    data-dependent while loop hops across empty windows, so sparse inputs
+    stay correct and dense inputs take ~2-3 window passes per 1024 events."""
+    n = events.shape[0]
+    hw = height * width
+    cells = num_bins * hw
+    idx_s, vl_s, vr_s = sortseg_prep(events, n_valid, num_bins=num_bins,
+                                     height=height, width=width)
+    chunk = _SEG_SUB * _LANE
+    m_pad = _round_up(n, chunk)
+    n_chunks = m_pad // chunk
 
     # one extra padding row past the last real cell serves as the kernel's
     # overflow window (parked zero-value contributions also land in padding)

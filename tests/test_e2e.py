@@ -199,6 +199,7 @@ def test_mvsec_inference_cli(workspace, tmp_path):
     assert len(preds) >= 2
 
 
+@pytest.mark.smoke
 def test_depth_stream_cli(tmp_path):
     """Live streaming demo: raw event log -> voxelize -> recurrent model."""
     cfg_dict = tiny_config_dict(str(tmp_path))

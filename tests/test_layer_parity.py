@@ -59,6 +59,7 @@ def test_conv_transpose_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), nhwc(theirs), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.smoke
 def test_conv_gru_matches_reference():
     from reference_loader import reference_modules
     _, sub, _ = reference_modules()

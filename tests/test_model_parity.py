@@ -89,6 +89,7 @@ def run_ours(params, cfg: ModelConfig, packages):
 # identity-skipped single-width tensors (statenet.py:111,303) -> channel
 # mismatch crash.  Parity is therefore only testable for 'sum'; our
 # implementation makes concat/no_skip functional (tested separately below).
+@pytest.mark.smoke
 @pytest.mark.parametrize("variant", [
     "ramnet_convgru",       # the shipped RAM-Net config (conv enc + convgru comb)
     "convlstm_enc_comb",    # convlstm encoders + convlstm state combination

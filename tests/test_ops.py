@@ -149,6 +149,7 @@ def test_normalize_voxel_grid():
     np.testing.assert_array_equal(np.asarray(ops.normalize_voxel_grid(jnp.asarray(z))), z)
 
 
+@pytest.mark.smoke
 def test_log_depth_round_trip():
     rng = np.random.RandomState(1)
     depth = rng.uniform(0.5, 900.0, (64, 64)).astype(np.float32)

@@ -60,6 +60,7 @@ def test_supervised_keys():
     assert supervised_keys(cfg) == ("events2", "image")
 
 
+@pytest.mark.smoke
 def test_loss_finite_and_grads_flow():
     cfg = tiny_config()
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), cfg.model)
