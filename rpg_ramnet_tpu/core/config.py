@@ -51,7 +51,9 @@ class ModelConfig:
     # fused Pallas upsample+5x5-conv decoder layers on inference paths
     # (ops/upsample_conv.py): OPT-IN ONLY ('on'); 'auto' is off — the
     # kernel wins isolated microbenches but loses in context on v5e
-    # (statenet._use_fused_decoder has the measurements)
+    # (statenet._use_fused_decoder has the measurements).  Like fused_gru,
+    # the Pallas kernel ignores shardings: 'on' is intended for
+    # SINGLE-DEVICE runs (a warning fires under a multi-device TPU mesh).
     fused_decoder: str = "auto"
     # composed stride-2 transposed-conv upsample layers (pure XLA,
     # differentiable): 'auto' = large decode batches (>=24) in bf16 on

@@ -394,6 +394,10 @@ def combine_hside(params, cfg: ModelConfig, supers: Tuple, gx_scales,
                  for c, g, s in zip(combs, gx_scales, supers))
 
 
+_fused_decoder_mesh_warned = False
+_composed_auto_announced = False
+
+
 def _use_fused_decoder(cfg: ModelConfig, x, cout: int) -> bool:
     """cfg.fused_decoder policy for one upsample-conv layer (the fused
     Pallas upsample+5x5 kernel, ops/upsample_conv.py).
@@ -408,12 +412,31 @@ def _use_fused_decoder(cfg: ModelConfig, x, cout: int) -> bool:
     exp/upsample_conv_b96.json); per-package latency mode 494 -> 271.
     Same pathology as the full fused GRU cell (PERF.md): custom-call
     operand layout constraints force relayouts of XLA-produced inputs
-    that XLA's own conv fusions avoid."""
+    that XLA's own conv fusions avoid.
+
+    Like the fused cells, the kernel ignores shardings — 'on' is
+    single-device only (warned once under a multi-device mesh)."""
     mode = getattr(cfg, "fused_decoder", "auto")
     if mode != "on":
         return False
     from ..ops import upsample_conv
-    return upsample_conv.supports(x, cout)
+    if not upsample_conv.supports(x, cout):
+        return False
+    if jax.device_count() > 1 and jax.default_backend() == "tpu":
+        # explicit opt-in stays honored (interpret-mode tests run on a
+        # multi-device CPU mesh), but make the hazard visible: the kernel
+        # ignores shardings, so sharded inputs would compute on unsharded
+        # layouts
+        global _fused_decoder_mesh_warned
+        if not _fused_decoder_mesh_warned:
+            _fused_decoder_mesh_warned = True
+            import warnings
+            warnings.warn(
+                "model.fused_decoder='on' under a multi-device mesh: the "
+                "Pallas decoder kernel ignores shardings — it is intended "
+                "for single-device runs; outputs on sharded inputs will "
+                "gather to unsharded layouts", stacklevel=2)
+    return True
 
 
 def _use_composed_decoder(cfg: ModelConfig, x) -> bool:
@@ -430,8 +453,24 @@ def _use_composed_decoder(cfg: ModelConfig, x) -> bool:
         return False
     if mode == "on":
         return True
-    return (jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16
-            and x.shape[0] >= 24)
+    on = (jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16
+          and x.shape[0] >= 24)
+    if on:
+        # surface the auto-flip once: bf16 deferred-decode TRAINING configs
+        # with decode batch >= 24 silently changed decoder summation order
+        # (and hence loss/gradient bits) when this gate landed in round 3 —
+        # make the reproducibility change visible at trace time
+        global _composed_auto_announced
+        if not _composed_auto_announced:
+            _composed_auto_announced = True
+            import logging
+            logging.getLogger(__name__).info(
+                "composed_decoder auto-engaged (TPU bf16 decode batch %d "
+                ">= 24): decoder float summation order deviates from the "
+                "two-stage layers at float tolerance; set "
+                "model.composed_decoder='off' for bitwise reproducibility "
+                "of pre-round-3 runs", x.shape[0])
+    return on
 
 
 def supers_decoder_view(cfg: ModelConfig, supers: Tuple) -> Tuple:

@@ -61,6 +61,12 @@ def _kernel(h0, gxz, gxr, gxr_top, gxr_bot, gxo, w_ur_ref, w_o_ref,
         # h0 load pass: tile i of h0 -> scratch interior rows; tile 0 also
         # writes the permanent zero borders (top 2 / bottom 2 rows)
         hpad[pl.ds(2 + i * t, t)] = h0[0]
+        # the load pass's out block is (0, i) — the same block s==1 visits
+        # and overwrites with the real step-0 result.  Write a defined value
+        # anyway: leaving it unwritten would flush uninitialized VMEM to HBM
+        # and rely on the s==1 revisit's flush ORDER for correctness
+        # (works on current Mosaic, but is unspecified semantics).
+        snap_ref[0] = h0[0]
 
         @pl.when(i == 0)
         def _zero_borders():
