@@ -67,16 +67,27 @@ class StreamingInference:
     decode_keys: restrict which predictions are decoded (e.g. ('image',)
     — the decoder is ~57% of per-package time at 256x512, so users who
     only need the frame-rate depth get ~2-3x throughput; the reference
-    always decodes all keys)."""
+    always decodes all keys).
+
+    spatial_mesh: optional Mesh — shard the H dimension of inputs and
+    recurrent state over the mesh 'model' axis (parallel.spatial); GSPMD
+    inserts the conv halo exchanges.  The multi-device mode for
+    LATENCY-bound single-stream inference (lanes can't help a single
+    stream; spatial partitioning can)."""
 
     def __init__(self, params, cfg: ModelConfig, arch: str = "ERGB2DepthRecurrent",
-                 decode_keys=None, batched_decode: bool = False):
+                 decode_keys=None, batched_decode: bool = False,
+                 spatial_mesh=None):
         """batched_decode: decode all K+1 predictions of a package in ONE
         stacked decoder pass (identical outputs; better MXU fill at low
         lane counts — model.forward_package_batched_decode)."""
-        self.params = params
         self.cfg = cfg
         self.model = get_model(arch)
+        self._mesh = spatial_mesh
+        if spatial_mesh is not None:
+            from ..parallel import replicate
+            params = replicate(params, spatial_mesh)
+        self.params = params
         dk = tuple(decode_keys) if decode_keys else None
         # composed transposed-conv decoder layers: EXPLICIT opt-in only
         # (cfg.composed_decoder='on') on streaming paths — their contract
@@ -98,6 +109,9 @@ class StreamingInference:
 
     def reset(self, batch: int, height: int, width: int):
         self._state = self.model.init_state(self.cfg, batch, height, width)
+        if self._mesh is not None:
+            from ..parallel import shard_state_spatial
+            self._state = shard_state_spatial(self._state, self._mesh)
 
     def step(self, pkg: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """pkg: {'events': [K,H,W,C], 'image': [H,W,C], optional
@@ -112,6 +126,9 @@ class StreamingInference:
         h, w = pkg["image"].shape[0], pkg["image"].shape[1]
         if self._state is None:
             self.reset(1, h, w)
+        if self._mesh is not None:
+            from ..parallel import shard_package_spatial
+            batched = shard_package_spatial(batched, self._mesh)
         self._state, preds = self._fwd(self.params, self._state, batched)
         return {k: np.asarray(v[0]) for k, v in preds.items()}
 
@@ -316,15 +333,35 @@ class BatchedStreamingInference:
     """Multi-lane streaming: N independent sequences advance in lockstep;
     a per-lane reset mask zeroes the recurrent state at each lane's sequence
     boundary.  Identical per-sequence outputs to single-lane at N x the
-    throughput (BASELINE config 5)."""
+    throughput (BASELINE config 5).
+
+    mesh: optional Mesh — lanes (the batch dim of every input, the state,
+    and the reset mask) are sharded over the mesh 'data' axis and params
+    replicated, so N lanes stream across the chips of a slice with XLA
+    collectives riding ICI.  Per-lane outputs are identical to the
+    single-device engine (tests/test_parallel.py)."""
 
     def __init__(self, params, cfg: ModelConfig, n_lanes: int,
-                 height: int, width: int, arch: str = "ERGB2DepthRecurrent"):
-        self.params = params
+                 height: int, width: int, arch: str = "ERGB2DepthRecurrent",
+                 mesh=None):
         self.cfg = cfg
         self.n_lanes = n_lanes
         self.model = get_model(arch)
         self.state = self.model.init_state(cfg, n_lanes, height, width)
+        self._mesh = mesh
+        self._lane_sharding = None
+        if mesh is not None:
+            from ..parallel import batch_sharding, replicate
+            n_data = mesh.shape["data"]
+            if n_lanes % n_data:
+                raise ValueError(
+                    f"n_lanes={n_lanes} must divide evenly over the mesh "
+                    f"data axis ({n_data} devices)")
+            params = replicate(params, mesh)
+            self._lane_sharding = batch_sharding(mesh)
+            self.state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._lane_sharding), self.state)
+        self.params = params
 
         def fwd(params, state, pkg, reset_mask):
             # reset_mask: [N] bool; zero the state of resetting lanes
@@ -339,17 +376,23 @@ class BatchedStreamingInference:
 
         self._fwd = jax.jit(fwd)
 
+    def _put(self, x):
+        x = jnp.asarray(x)
+        if self._lane_sharding is not None:
+            x = jax.device_put(x, self._lane_sharding)
+        return x
+
     def step(self, pkg: Dict[str, Any], reset_mask: np.ndarray):
         """pkg: {'events': [N,K,H,W,C], 'image': [N,H,W,C], optional
         'times_events' [N,K] / 'times_image' [N] for the phased
         (irregular-timestamp) regime}; reset_mask: [N] bool."""
-        dev_pkg = {"events": jnp.asarray(pkg["events"]),
-                   "image": jnp.asarray(pkg["image"])}
+        dev_pkg = {"events": self._put(pkg["events"]),
+                   "image": self._put(pkg["image"])}
         for tk in ("times_events", "times_image"):
             if tk in pkg:
-                dev_pkg[tk] = jnp.asarray(pkg[tk])
+                dev_pkg[tk] = self._put(pkg[tk])
         self.state, preds = self._fwd(self.params, self.state, dev_pkg,
-                                      jnp.asarray(reset_mask))
+                                      self._put(np.asarray(reset_mask)))
         return preds
 
 
@@ -368,7 +411,7 @@ def _round_robin_lanes(dataset, n_lanes: int):
 
 def run_batched_streaming(dataset, params, cfg: ModelConfig,
                           arch: str = "ERGB2DepthRecurrent",
-                          n_lanes: int = 4, on_prediction=None):
+                          n_lanes: int = 4, on_prediction=None, mesh=None):
     """Drive a ConcatSequenceDataset through lane-batched streaming.
 
     Sequences (sub-datasets) are distributed round-robin over `n_lanes`;
@@ -393,7 +436,8 @@ def run_batched_streaming(dataset, params, cfg: ModelConfig,
         tev_zero = np.zeros_like(item0["times_events"][0])
         tim_zero = np.zeros((), np.float32)
     h, w = item0["image"].shape[1], item0["image"].shape[2]
-    engine = BatchedStreamingInference(params, cfg, n_lanes, h, w, arch)
+    engine = BatchedStreamingInference(params, cfg, n_lanes, h, w, arch,
+                                       mesh=mesh)
 
     for t in range(max_len):
         ev_list, im_list, resets, metas = [], [], [], []
@@ -432,7 +476,8 @@ def run_batched_chunked_streaming(dataset, params, cfg: ModelConfig,
                                   arch: str = "ERGB2DepthRecurrent",
                                   n_lanes: int = 8, chunk: int = 2,
                                   on_prediction=None, decode_keys=None,
-                                  precompute_x: Optional[bool] = None):
+                                  precompute_x: Optional[bool] = None,
+                                  mesh=None):
     """Lane-batched AND chunked offline streaming: sequences round-robin
     over `n_lanes` lanes (run_batched_streaming) while `chunk` packages per
     lane are scanned in ONE jitted program with a single batched decoder
@@ -444,6 +489,11 @@ def run_batched_chunked_streaming(dataset, params, cfg: ModelConfig,
     the flagged package); padded steps past a lane's last item stay reset.
     Outputs are identical to single-lane streaming per item (within ~1 ulp
     when precompute_x is on — see _resolve_precompute).
+
+    mesh: optional Mesh — lanes sharded over the mesh 'data' axis (batch is
+    axis 1 of the time-leading chunk buffers), params replicated.  The
+    BASELINE config-5 streaming mode end-to-end: data-parallel lane-batched
+    chunked inference.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -515,6 +565,17 @@ def run_batched_chunked_streaming(dataset, params, cfg: ModelConfig,
         return out, metas
 
     state = model.init_state(cfg, n_lanes, h, w)
+    if mesh is not None:
+        from ..parallel import batch_sharding, replicate, shard_batch
+        n_data = mesh.shape["data"]
+        if n_lanes % n_data:
+            raise ValueError(
+                f"n_lanes={n_lanes} must divide evenly over the mesh data "
+                f"axis ({n_data} devices)")
+        params = replicate(params, mesh)
+        lane0 = batch_sharding(mesh)
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, lane0), state)
     pool = ThreadPoolExecutor(1)
     try:
         t0s = list(range(0, max_len, chunk))
@@ -523,7 +584,10 @@ def run_batched_chunked_streaming(dataset, params, cfg: ModelConfig,
             arrs, metas = fut.result()
             if ci + 1 < len(t0s):
                 fut = pool.submit(load_chunk, t0s[ci + 1])
-            seq = {k: jnp.asarray(v) for k, v in arrs.items()}
+            if mesh is not None:
+                seq = shard_batch(arrs, mesh)     # lanes on axis 1 (*_tcf)
+            else:
+                seq = {k: jnp.asarray(v) for k, v in arrs.items()}
             state, preds = fwd(params, state, seq)
             if on_prediction is not None:
                 preds_np = {k: np.asarray(v) for k, v in preds.items()}

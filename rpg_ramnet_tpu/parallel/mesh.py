@@ -39,10 +39,11 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-# keys stored time-leading by train.sequence_loss.pack_train_batch: the
-# batch dim is axis 1 there
+# keys stored time-leading by train.sequence_loss.pack_train_batch and the
+# chunked-streaming chunk loaders: the batch/lane dim is axis 1 there
 TIME_LEADING_KEYS = ("events_tcf", "image_tcf", "depth_events_t",
-                     "depth_image_t", "times_events_t", "times_image_t")
+                     "depth_image_t", "times_events_t", "times_image_t",
+                     "reset_t")
 
 
 def key_sharding(mesh: Mesh, key: str) -> NamedSharding:

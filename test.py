@@ -55,6 +55,15 @@ def main():
                         help="reg_factor for loading depth targets; the "
                              "reference's test.py leaves this at the dataset "
                              "default 5.7 regardless of config (its quirk)")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="shard streaming inference over N devices "
+                             "(0 = single device).  With --lanes > 1: lanes "
+                             "sharded over the mesh data axis (data-parallel "
+                             "streaming, BASELINE config 5; lanes %% N == 0 "
+                             "required).  With --lanes 1: spatial "
+                             "partitioning — activation/state H sharded over "
+                             "the mesh model axis for single-stream latency "
+                             "(GSPMD inserts the conv halo exchanges)")
     args = parser.parse_args()
 
     if args.config is None:
@@ -105,8 +114,25 @@ def main():
     summary(params, cfg.arch)
 
     decode_keys = tuple(k for k in args.decode_keys.split(",") if k) or None
+    mesh = None
+    spatial_mesh = None
+    if args.mesh > 0:
+        import jax
+        from rpg_ramnet_tpu.core.config import MeshConfig
+        from rpg_ramnet_tpu.parallel import make_mesh
+        devices = jax.devices()[:args.mesh]
+        if len(devices) < args.mesh:
+            raise SystemExit(f"--mesh {args.mesh}: only {len(devices)} "
+                             "devices available")
+        if args.lanes > 1:
+            mesh = make_mesh(MeshConfig(data=args.mesh, model=1),
+                             devices=devices)
+        else:
+            spatial_mesh = make_mesh(MeshConfig(data=1, model=args.mesh),
+                                     devices=devices)
     engine = StreamingInference(params, cfg.model, cfg.arch,
-                                decode_keys=decode_keys, batched_decode=True)
+                                decode_keys=decode_keys, batched_decode=True,
+                                spatial_mesh=spatial_mesh)
     writer = DepthOutputWriter(args.output_path) if args.output_path else None
     reg_factor = cfg.train_data.reg_factor
     clip_distance = vd.clip_distance
@@ -170,13 +196,15 @@ def main():
                                       chunk=args.scan_chunk,
                                       on_prediction=handle,
                                       decode_keys=decode_keys,
-                                      precompute_x=precompute_x)
+                                      precompute_x=precompute_x,
+                                      mesh=mesh)
     elif args.lanes > 1:
         # lane-batched multi-sequence streaming: identical per-sequence
         # outputs at n_lanes x the throughput
         from rpg_ramnet_tpu.eval.inference import run_batched_streaming
         run_batched_streaming(dataset, params, cfg.model, cfg.arch,
-                              n_lanes=args.lanes, on_prediction=handle)
+                              n_lanes=args.lanes, on_prediction=handle,
+                              mesh=mesh)
     elif args.scan_chunk > 0:
         # offline chunked streaming: scan the sequential work, decode all
         # chunk*(K+1) snapshots in one batched pass (identical outputs);

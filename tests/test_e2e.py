@@ -323,3 +323,48 @@ def test_full_pipeline_cli(workspace):
             break
     else:
         raise AssertionError("abs_rel_diff not printed")
+
+
+@pytest.mark.slow
+def test_test_cli_with_mesh(workspace, tmp_path):
+    """test.py --mesh N: the data-parallel streaming mode (lanes sharded
+    over the mesh data axis, BASELINE config 5) and the spatial
+    single-stream mode must both write npy outputs identical to the plain
+    single-device run."""
+    ws = workspace
+    cfg_dict = tiny_config_dict(str(tmp_path), name="mesh_test_run")
+    cfg = Config.from_dict(cfg_dict)
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(4), cfg.model)
+    run_dir = tmp_path / "run"
+    opt = make_optimizer(cfg)
+    CheckpointManager(str(run_dir)).save(
+        "model_best", params, opt.init(params), epoch=0, monitor_best=0.0,
+        config=cfg_dict)
+    with open(run_dir / "config.json", "w") as f:
+        json.dump(cfg_dict, f)
+    env = {"PREPROCESSED_DATASETS_FOLDER": str(ws / "datasets"),
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    base = [sys.executable, "test.py",
+            "--path_to_model", str(run_dir / "model_best"),
+            "--config", str(run_dir / "config.json"),
+            "--data_folder", "test", "--crop", "32,32"]
+
+    out_ref = str(tmp_path / "out_ref")
+    run(base + ["--output_path", out_ref], env_extra=env)
+    npy_dir = join(out_ref, "npy", "image")
+    files = sorted(os.listdir(npy_dir))
+    assert len(files) >= 2
+
+    # data-parallel lanes x chunk under a 2-device mesh
+    out_dp = str(tmp_path / "out_dp")
+    run(base + ["--output_path", out_dp, "--lanes", "2", "--scan_chunk", "2",
+                "--mesh", "2"], env_extra=env)
+    # spatial single-stream under a 2-device mesh
+    out_sp = str(tmp_path / "out_sp")
+    run(base + ["--output_path", out_sp, "--mesh", "2"], env_extra=env)
+    for out_dir in (out_dp, out_sp):
+        for f in files:
+            a = np.load(join(npy_dir, f))
+            b = np.load(join(out_dir, "npy", "image", f))
+            np.testing.assert_allclose(a, b, atol=1e-5,
+                                       err_msg=f"{out_dir}/{f}")

@@ -111,3 +111,113 @@ def test_dp_mesh_precomputed_inference_equals_single_device():
     for k in ref:
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    atol=1e-5, rtol=1e-5, err_msg=k)
+
+
+def _tiny_mcfg(seed_key=0):
+    from rpg_ramnet_tpu.core.config import ModelConfig
+    return ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "recurrent_block_type": "conv",
+        "state_combination": "convgru", "num_encoders": 2,
+        "base_num_channels": 4, "every_x_rgb_frame": 2, "baseline": False,
+        "skip_type": "sum", "norm": "none"})
+
+
+def test_mesh_batched_streaming_engine_equals_single_device():
+    """BatchedStreamingInference(mesh=...): lanes sharded over the mesh
+    'data' axis must reproduce the unsharded engine exactly, including
+    per-lane state resets mid-stream (the BASELINE config-5 product
+    surface, not just the raw forward)."""
+    from rpg_ramnet_tpu.eval.inference import BatchedStreamingInference
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+
+    mcfg = _tiny_mcfg()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(5), mcfg)
+    N, K, H, W = 8, 2, 32, 32
+    rng = np.random.RandomState(0)
+    pkgs = [{"events": rng.randn(N, K, H, W, 5).astype(np.float32),
+             "image": rng.rand(N, H, W, 1).astype(np.float32)}
+            for _ in range(3)]
+    resets = [np.ones(N, bool),
+              rng.rand(N) < 0.4,          # mid-stream per-lane resets
+              np.zeros(N, bool)]
+
+    plain = BatchedStreamingInference(params, mcfg, N, H, W)
+    sharded = BatchedStreamingInference(params, mcfg, N, H, W,
+                                        mesh=make_mesh())
+    for t, (pkg, rm) in enumerate(zip(pkgs, resets)):
+        p_ref = plain.step(pkg, rm)
+        p_out = sharded.step(pkg, rm)
+        for k in p_ref:
+            np.testing.assert_allclose(
+                np.asarray(p_out[k]), np.asarray(p_ref[k]),
+                atol=1e-5, rtol=1e-5, err_msg=f"step {t} key {k}")
+
+
+def test_mesh_batched_chunked_streaming_equals_single_device(tmp_path):
+    """run_batched_chunked_streaming(mesh=...): the full product path
+    (dataset round-robin -> time-leading chunk buffers -> scan with
+    per-step reset masks -> batched decode) under a DP mesh must produce
+    identical per-item predictions to the single-device run."""
+    from rpg_ramnet_tpu.data import CenterCrop, concatenate_subfolders
+    from rpg_ramnet_tpu.data.synthetic import generate_eventscape_sequence
+    from rpg_ramnet_tpu.eval.inference import run_batched_chunked_streaming
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+
+    root = tmp_path / "split"
+    for s in range(3):
+        generate_eventscape_sequence(str(root / f"seq{s:02d}"), n_frames=8,
+                                     height=32, width=32,
+                                     events_per_frame=200, seed=20 + s)
+    mcfg = _tiny_mcfg()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(9), mcfg)
+    dataset = concatenate_subfolders(
+        str(root), "SequenceSynchronizedFramesEventsDataset", "events/voxels",
+        "depth/data", "rgb/data", sequence_length=1, step_size=1,
+        clip_distance=80.0, every_x_rgb_frame=2, reg_factor=3.70378,
+        transform=CenterCrop(32))
+
+    def run(mesh):
+        out = {}
+        run_batched_chunked_streaming(
+            dataset, params, mcfg, n_lanes=8, chunk=2, mesh=mesh,
+            on_prediction=lambda gidx, preds, item, seq_pos: out.__setitem__(
+                gidx, {k: np.asarray(v) for k, v in preds.items()}))
+        return out
+
+    ref = run(None)
+    out = run(make_mesh())
+    assert set(out) == set(ref)
+    for idx in ref:
+        for k in ref[idx]:
+            np.testing.assert_allclose(out[idx][k], ref[idx][k],
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"idx={idx} key={k}")
+
+
+def test_spatial_mesh_streaming_engine_equals_plain():
+    """StreamingInference(spatial_mesh=...): single-stream latency mode —
+    H sharded over the 'model' axis (GSPMD conv halos) must reproduce the
+    unsharded engine across carried state."""
+    from rpg_ramnet_tpu.core.config import MeshConfig
+    from rpg_ramnet_tpu.eval.inference import StreamingInference
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+
+    mcfg = _tiny_mcfg()
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(2), mcfg)
+    K, H, W = 2, 32, 32
+    rng = np.random.RandomState(3)
+    pkgs = [{"events": rng.randn(K, H, W, 5).astype(np.float32),
+             "image": rng.rand(H, W, 1).astype(np.float32)}
+            for _ in range(3)]
+
+    plain = StreamingInference(params, mcfg, batched_decode=True)
+    mesh = make_mesh(MeshConfig(data=1, model=8))
+    sharded = StreamingInference(params, mcfg, batched_decode=True,
+                                 spatial_mesh=mesh)
+    for t, pkg in enumerate(pkgs):
+        p_ref = plain.step(pkg)
+        p_out = sharded.step(pkg)
+        for k in p_ref:
+            np.testing.assert_allclose(p_out[k], p_ref[k],
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"step {t} key {k}")
