@@ -160,13 +160,81 @@ def run_parity(ws, data_root, data_folder, cfg_dict, ckpt=None, mode="dry-run"):
                        rows, mode)
 
 
+def run_mvsec_phased_dryrun(ws_root):
+    """MVSEC irregular-times full pipeline at TRUE MVSEC test resolution
+    (260x346, crop 256x344): our test.py streams the phased
+    (use_phased_arch, continuous times) model over MVSEC-format data, then
+    BOTH evaluators (the reference's evaluation.py via ref shims + ours)
+    score the outputs and must agree <1e-3.
+
+    Cross-pipeline prediction parity is impossible here BY REFERENCE
+    LIMITATION: the vendored main branch hardcodes CenterCrop([256,512])
+    (RAM_Net/test.py:148) which crashes on 346-wide MVSEC frames, and its
+    phased machinery is dormant (the activating branch is not vendored).
+    The reference EVALUATOR is resolution-agnostic, so it serves as the
+    oracle on our outputs — the strongest zero-egress check available for
+    BASELINE config 3."""
+    import test_pipeline_parity as P
+    from pathlib import Path
+    from rpg_ramnet_tpu.data.synthetic import generate_eventscape_sequence
+    ws = Path(ws_root)
+    data_root = ws / "datasets"
+    seq_dir = data_root / "mvsec_test" / "mvsec_seq00"
+    if not seq_dir.is_dir():
+        generate_eventscape_sequence(str(seq_dir), n_frames=30, height=260,
+                                     width=346, events_per_frame=3000,
+                                     seed=9, mvsec=True)
+    cfg = P.parity_config(every_x=1)
+    cfg["use_phased_arch"] = True
+    cfg["model"]["use_phased_arch"] = True
+    cfg["model"]["spatial_resolution"] = [256, 344]
+    cfg["model"]["recurrent_block_type"] = "convlstm"
+    cfg["model"]["state_combination"] = "convlstm"
+    os.makedirs(ws / "ws", exist_ok=True)
+    ckpt, cfg_path = P.export_checkpoint(ws / "ws", cfg)
+    env = {"PREPROCESSED_DATASETS_FOLDER": str(data_root)}
+    our_out = str(ws / "our_out")
+    r_our = P.run([sys.executable, "test.py",
+                   "--path_to_model", ckpt, "--config", cfg_path,
+                   "--output_path", our_out, "--data_folder", "mvsec_test",
+                   "--crop", "256,344"], env_extra=env)
+    scale_our = P.parse_total_scale(r_our.stdout)
+    eval_flags = ["--clip_distance",
+                  str(cfg["data_loader"]["validation"]["clip_distance"]),
+                  "--reg_factor", "5.7", "--crop_ymax", "260"]
+    rows = {"streaming_total_scale": (scale_our, scale_our)}
+    metrics = {}
+    for eval_name, cmd0 in (
+            ("ref", [sys.executable, "tests/ref_pipeline_runner.py",
+                     "evaluation"]),
+            ("our", [sys.executable, "evaluation.py"])):
+        r = P.run(cmd0 + ["--target_dataset",
+                          join(our_out, "ground_truth", "npy", "depth_image"),
+                          "--predictions_dataset", join(our_out, "npy", "image")]
+                  + eval_flags, env_extra=env)
+        metrics[eval_name] = P.parse_metric_lines(r.stdout)
+    for name in metrics["ref"]:
+        rows[f"eval{name}"] = (metrics["ref"][name],
+                               metrics["our"].get(name, float("nan")))
+    return write_table(
+        join(REPO, "exp", "real_parity_table_dry-run-mvsec-phased.md"),
+        rows, "dry-run-mvsec-phased")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry-run", action="store_true",
                     help="synthetic data + random-init checkpoint (no egress)")
+    ap.add_argument("--dry-run-mvsec", action="store_true",
+                    help="MVSEC irregular-times (phased) pipeline at true "
+                         "MVSEC test resolution; reference EVALUATOR as "
+                         "oracle (no egress)")
     ap.add_argument("--data_dir", default="/tmp/ramnet_real")
     ap.add_argument("--ws", default="/tmp/ramnet_parity_ws")
     args = ap.parse_args()
+
+    if args.dry_run_mvsec:
+        sys.exit(0 if run_mvsec_phased_dryrun(args.ws + "_mvsec") else 1)
 
     if args.dry_run:
         from rpg_ramnet_tpu.data.synthetic import generate_split

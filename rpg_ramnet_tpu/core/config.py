@@ -48,6 +48,10 @@ class ModelConfig:
     # jax.device_count()==1 — the kernels ignore shardings); 'on'/'off'
     # force.  f32-accumulated gates (~bf16-eps from the XLA path).
     fused_gru: str = "auto"
+    # cross-scale merged GRU h-side launch (ops/gru_pair.py): scales 0+1 in
+    # one pallas_call, removing one custom-call boundary per modality step.
+    # OPT-IN ONLY ('on'); requires fused_gru to be active for both scales.
+    fused_pair: str = "auto"
     # fused Pallas upsample+5x5-conv decoder layers on inference paths
     # (ops/upsample_conv.py): OPT-IN ONLY ('on'); 'auto' is off — the
     # kernel wins isolated microbenches but loses in context on v5e
@@ -89,6 +93,7 @@ class ModelConfig:
             compute_dtype=str(d.get("compute_dtype", "float32")),
             fast_upsample=bool(d.get("fast_upsample", False)),
             fused_gru=str(d.get("fused_gru", "auto")),
+            fused_pair=str(d.get("fused_pair", "auto")),
             fused_decoder=str(d.get("fused_decoder", "auto")),
             composed_decoder=str(d.get("composed_decoder", "auto")),
         )

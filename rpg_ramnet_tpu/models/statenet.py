@@ -388,6 +388,23 @@ def combine_hside(params, cfg: ModelConfig, supers: Tuple, gx_scales,
             if _use_fused_cell(cfg, s):
                 return conv_gru_hside_fused(p, g, s)
             return L.conv_gru_apply_hside(p, g, s)
+
+        # cross-scale merged launch (ops/gru_pair): scales 0+1 in ONE
+        # pallas_call — removes one custom-call boundary (~31 us of XLA
+        # while bookkeeping) per modality step.  Opt-in via
+        # cfg.fused_pair='on' (inference paths; no VJP).
+        if (getattr(cfg, "fused_pair", "auto") == "on" and len(supers) >= 2
+                and _use_fused_cell(cfg, supers[0])
+                and _use_fused_cell(cfg, supers[1])):
+            from ..ops import gru_pair
+            if gru_pair.supports_pair(supers[0], supers[1]):
+                h0, h1 = gru_pair.conv_gru_hside_pair(
+                    combs[0]["recurrent_block"], combs[1]["recurrent_block"],
+                    gx_scales[0], gx_scales[1], supers[0], supers[1])
+                rest = tuple(fn(c["recurrent_block"], g, s)
+                             for c, g, s in zip(combs[2:], gx_scales[2:],
+                                                supers[2:]))
+                return (h0, h1) + rest
     else:
         fn = L.conv_gru_apply_hside
     return tuple(fn(c["recurrent_block"], g, s)

@@ -136,13 +136,18 @@ def _halos(x, tile_h: int, rows: int):
 
 
 def _gru_cell_math_v2(h_cur, h_top, h_bot, gxz, gxr_cur, gxr_top, gxr_bot,
-                      gxo, w_ur, w_o, *, tile_h: int, H: int, W: int, C: int):
+                      gxo, w_ur, w_o, *, tile_h: int, H: int, W: int, C: int,
+                      i=None):
     """v2 body: identical math to _gru_cell_math, but the 2-row h halo and
     1-row gxr halo arrive as separate skinny side-arrays (_halos) instead of
     prev/next BlockSpecs on the full arrays — each HBM plane is read ONCE
     (~5 planes/cell vs v1's ~11; v1 measured 4x off the HBM roofline at the
-    flagship scale-0, exp/fused_cell_roofline.json)."""
-    i = pl.program_id(1)
+    flagship scale-0, exp/fused_cell_roofline.json).
+
+    i: tile index within this scale's H tiling (defaults to grid dim 1 —
+    the cross-scale merged kernel passes its own offset index)."""
+    if i is None:
+        i = pl.program_id(1)
     dt = h_cur.dtype
     hb = jnp.concatenate([h_top[0, 0], h_cur[0], h_bot[0, 0]], axis=0)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 4, 1, 1), 0) \

@@ -584,3 +584,78 @@ def test_composed_decoder_full_forward_matches():
                                           allow_composed=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_gru_pair_kernel_matches_per_scale():
+    """Cross-scale merged GRU h-side launch (ops/gru_pair.py, interpret
+    mode on CPU) == two per-scale layers.conv_gru_apply_hside calls, at
+    flagship-like scale relationships (scale 1 half the spatial size,
+    double the channels) including multi-tile grids."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import layers as L
+    from rpg_ramnet_tpu.ops import gru_pair
+
+    rng = np.random.RandomState(0)
+    for (B, H0, W0, C0) in ((1, 32, 32, 8), (2, 32, 16, 8)):
+        H1, W1, C1 = H0 // 2, W0 // 2, C0 * 2
+        p0 = L.conv_gru_init(jax.random.PRNGKey(0), C0, C0, 3, jnp.float32)
+        p1 = L.conv_gru_init(jax.random.PRNGKey(1), C1, C1, 3, jnp.float32)
+        h0 = jnp.asarray(rng.randn(B, H0, W0, C0).astype(np.float32))
+        h1 = jnp.asarray(rng.randn(B, H1, W1, C1).astype(np.float32))
+        gx0 = L.conv_gru_x_gates(p0, jnp.asarray(
+            rng.randn(B, H0, W0, C0).astype(np.float32)))
+        gx1 = L.conv_gru_x_gates(p1, jnp.asarray(
+            rng.randn(B, H1, W1, C1).astype(np.float32)))
+        assert gru_pair.supports_pair(h0.astype(jnp.bfloat16),
+                                      h1.astype(jnp.bfloat16))
+        ref0 = L.conv_gru_apply_hside(p0, gx0, h0)
+        ref1 = L.conv_gru_apply_hside(p1, gx1, h1)
+        got0, got1 = gru_pair.conv_gru_hside_pair(p0, p1, gx0, gx1, h0, h1)
+        np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"scale0 {(B, H0, W0, C0)}")
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"scale1 {(B, H1, W1, C1)}")
+    # f32 not supported on hardware
+    assert not gru_pair.supports_pair(jnp.zeros((1, 16, 16, 8), jnp.float32),
+                                      jnp.zeros((1, 8, 8, 16), jnp.float32))
+
+
+def test_fused_pair_model_path_matches_unfused():
+    """forward_sequence_precomputed with fused_pair='on' (+ fused_gru='on',
+    interpret hooks) == the all-XLA path through the full model."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.core.config import ModelConfig
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent as M
+    from rpg_ramnet_tpu.ops import gru_hside, gru_pair
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "recurrent_block_type":
+        "conv", "state_combination": "convgru", "num_encoders": 3,
+        "base_num_channels": 4, "every_x_rgb_frame": 2, "baseline": False,
+        "skip_type": "sum", "norm": "none", "compute_dtype": "bfloat16",
+        "fused_gru": "on", "fused_pair": "on"})
+    off = dataclasses.replace(mcfg, fused_gru="off", fused_pair="off")
+    params = M.init_params(jax.random.PRNGKey(0), mcfg)
+    st0 = M.init_state(mcfg, 1, 32, 32)
+    rng = np.random.RandomState(0)
+    L_, K = 2, 2
+    seq = {"events": jnp.asarray(
+               rng.randn(1, L_, K, 32, 32, 5).astype(np.float32)),
+           "image": jnp.asarray(rng.rand(1, L_, 32, 32, 1).astype(np.float32))}
+    gru_hside._INTERPRET = True
+    gru_pair._INTERPRET = True
+    try:
+        _, p_pair = M.forward_sequence_precomputed(params, mcfg, st0, seq)
+    finally:
+        gru_hside._INTERPRET = False
+        gru_pair._INTERPRET = False
+    _, p_plain = M.forward_sequence_precomputed(params, off, st0, seq)
+    for k in p_plain:
+        d = np.max(np.abs(np.asarray(p_pair[k], np.float32)
+                          - np.asarray(p_plain[k], np.float32)))
+        assert d < 0.05, (k, d)   # bf16 path tolerance (f32-accum gates)
