@@ -454,11 +454,152 @@ def _gru_hside_fwd(tile_h, interpret, p, gx, prev_state):
     return h_new, (p, gx, prev_state, acts)
 
 
+# ---------------------------------------------------------------------------
+# Pallas BACKWARD kernel (round 4, verdict item 4): the dh/dgx chain of the
+# GRU h-side backward — two transpose convs + the gate elementwise — fused
+# into one pass over H-tiles, mirroring the forward kernel's structure
+# (backward is ~2x the forward work; the XLA bwd pays the same per-step
+# boundary/relayout tax the forward kernel removed).  Weight grads stay XLA
+# (a batched conv_general contraction the MXU already runs well).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(g_cur, g_top, g_bot, a_cur, a_top, a_bot, h_cur, h_top,
+                h_bot, wbur, wbo, dh_ref, dgx_ref, *, tile_h: int, H: int,
+                W: int, C: int):
+    """dh = g(1-z) + da*r + convT(concat(dpre_z, dpre_r), Wur);
+    da = convT(dpre_o, Wo); dgx = concat(dpre_z, dpre_r, dpre_o).
+    convT = correlation with flipped/in-out-swapped weights (arrives
+    pre-folded as wbur/wbo).  g and acts carry 2-row halos (da's conv input
+    dpre_o is needed one row beyond dpre_ur's conv input rows); h carries a
+    1-row halo.  Out-of-range g rows are masked to zero (the zero padding
+    _dconv_x sees); h is masked so dr/dpre_z vanish there too."""
+    i = pl.program_id(1)
+    t = tile_h
+    dt = h_cur.dtype
+    f32 = jnp.float32
+
+    gb = jnp.concatenate([g_top[0, 0], g_cur[0], g_bot[0, 0]], axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (t + 4, 1, 1), 0) + i * t - 2
+    gb = jnp.where((row >= 0) & (row < H), gb, jnp.zeros_like(gb)).astype(f32)
+    ab = jnp.concatenate([a_top[0, 0], a_cur[0], a_bot[0, 0]], axis=0)
+    z4 = ab[..., :C].astype(f32)
+    r4 = ab[..., C:2 * C].astype(f32)
+    o4 = ab[..., 2 * C:].astype(f32)
+
+    hb = jnp.concatenate([h_top[0, 0], h_cur[0], h_bot[0, 0]], axis=0)
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (t + 2, 1, 1), 0) + i * t - 1
+    hb = jnp.where((row1 >= 0) & (row1 < H), hb, jnp.zeros_like(hb))
+    hf = hb.astype(f32)
+
+    # dpre_o on the full 2-row halo (da's conv consumes it)
+    dpre_o = gb * z4 * (1.0 - o4 * o4)                  # [t+4, W, C]
+    da = _conv9(dpre_o.astype(dt), wbo, t + 2, C).reshape(t + 2, W, C)
+
+    dr = da * hf                                        # rows [it-1, it+t+1)
+    r1 = r4[1:t + 3]
+    dpre_r = dr * r1 * (1.0 - r1)
+    g1 = gb[1:t + 3]
+    z1 = z4[1:t + 3]
+    o1 = o4[1:t + 3]
+    dpre_z = g1 * (o1 - hf) * z1 * (1.0 - z1)
+    dpre_ur = jnp.concatenate([dpre_z, dpre_r], axis=-1).astype(dt)
+    dh_conv = _conv9(dpre_ur, wbur, t, 2 * C).reshape(t, W, C)
+
+    z_c = z4[2:t + 2]
+    dh = gb[2:t + 2] * (1.0 - z_c) + da[1:t + 1] * r4[2:t + 2] + dh_conv
+    dh_ref[0] = dh.astype(dt)
+    dgx_ref[0] = jnp.concatenate(
+        [dpre_z[1:t + 1], dpre_r[1:t + 1], dpre_o[2:t + 2]],
+        axis=-1).astype(dgx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+def _run_bwd(g, acts, h, wbur, wbo, tile_h, interpret=False):
+    B, H, W, C = h.shape
+    n = H // tile_h
+    g_top, g_bot = _halos(g, tile_h, 2)
+    a_top, a_bot = _halos(acts, tile_h, 2)
+    h_top, h_bot = _halos(h, tile_h, 1)
+    blk = lambda ch=C: pl.BlockSpec((1, tile_h, W, ch),       # noqa: E731
+                                    lambda b, i: (b, i, 0, 0))
+    halo = lambda rows, ch=C: pl.BlockSpec(                   # noqa: E731
+        (1, 1, rows, W, ch), lambda b, i: (b, i, 0, 0, 0))
+    wb_ur = pl.BlockSpec((3, 6 * C, C), lambda b, i: (0, 0, 0))
+    wb_o = pl.BlockSpec((3, 3 * C, C), lambda b, i: (0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, tile_h=tile_h, H=H, W=W, C=C),
+        out_shape=(jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
+                   jax.ShapeDtypeStruct((B, H, W, 3 * C), h.dtype)),
+        grid=(B, n),
+        in_specs=[blk(), halo(2), halo(2),
+                  blk(3 * C), halo(2, 3 * C), halo(2, 3 * C),
+                  blk(), halo(1), halo(1),
+                  wb_ur, wb_o],
+        out_specs=(blk(), blk(3 * C)),
+        interpret=interpret,
+    )(g, g_top, g_bot, acts, a_top, a_bot, h, h_top, h_bot, wbur, wbo)
+
+
+# Dispatch flag for the Pallas backward: default OFF until a measured win
+# (tests toggle it; bench/exp probes force it for measurement).
+_BWD_KERNEL = False
+
+
+def bwd_supports(h) -> bool:
+    """Shapes the backward kernel accepts: same alignment rules as the
+    forward, with a halved tile budget (the 3C acts/dgx blocks)."""
+    if h.ndim != 4 or h.dtype != jnp.bfloat16:
+        return False
+    _, H, W, C = h.shape
+    return (_pick_tile_h(H, W, C, 2, budget=256 * 1024) > 0
+            and W % 8 == 0 and C % 8 == 0)
+
+
 def _gru_hside_bwd(tile_h, interpret, res, g):
     """Hand-derived ConvGRU h-side backward.  Forward:
         z = sig(conv(h,Wz) + gxz); r = sig(conv(h,Wr) + gxr)
         o = tanh(conv(r*h, Wo) + gxo); h' = h*(1-z) + o*z
-    acts from the kernel: concat(z, r, o)."""
+    acts from the kernel: concat(z, r, o).
+    When _BWD_KERNEL is on and shapes allow, the dh/dgx chain runs as ONE
+    fused Pallas pass (_run_bwd); weight grads stay XLA either way."""
+    p, gx, h, acts = res
+    if _BWD_KERNEL and (bwd_supports(h) or interpret):
+        return _gru_hside_bwd_kernel_path(tile_h, interpret, res, g)
+    return _gru_hside_bwd_xla(tile_h, interpret, res, g)
+
+
+def _gru_hside_bwd_kernel_path(tile_h, interpret, res, g):
+    p, gx, h, acts = res
+    C = h.shape[-1]
+    dt = h.dtype
+    wh_ur = jnp.concatenate([p["update_gate"]["weight"][:, :, -C:],
+                             p["reset_gate"]["weight"][:, :, -C:]], axis=-1)
+    wh_o = p["out_gate"]["weight"][:, :, -C:]
+    wbur = _fold3(jnp.flip(wh_ur, (0, 1)).swapaxes(2, 3)).astype(dt)
+    wbo = _fold3(jnp.flip(wh_o, (0, 1)).swapaxes(2, 3)).astype(dt)
+    t = _pick_tile_h(h.shape[1], h.shape[2], C, 2, budget=256 * 1024) \
+        if not interpret else min(tile_h, h.shape[1])
+    dh, dgx = _run_bwd(g.astype(dt), acts, h, wbur, wbo, t,
+                       interpret or _INTERPRET)
+    # weight grads: batched conv contractions, XLA-native
+    ds_ur = dgx[..., :2 * C].astype(dt)
+    ds_o = dgx[..., 2 * C:].astype(dt)
+    a = (acts[..., C:2 * C].astype(jnp.float32)
+         * h.astype(jnp.float32)).astype(dt)
+    dwh_ur = _dconv_w(h, ds_ur)
+    dwh_o = _dconv_w(a, ds_o)
+    dp = _zero_like_tree(p)
+    dp["update_gate"]["weight"] = _scatter_hside_wgrad(
+        p["update_gate"]["weight"], dwh_ur[..., :C], C)
+    dp["reset_gate"]["weight"] = _scatter_hside_wgrad(
+        p["reset_gate"]["weight"], dwh_ur[..., C:], C)
+    dp["out_gate"]["weight"] = _scatter_hside_wgrad(
+        p["out_gate"]["weight"], dwh_o, C)
+    return dp, dgx.astype(gx.dtype), dh.astype(dt)
+
+
+def _gru_hside_bwd_xla(tile_h, interpret, res, g):
     p, gx, h, acts = res
     C = h.shape[-1]
     dt = h.dtype

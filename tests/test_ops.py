@@ -659,3 +659,42 @@ def test_fused_pair_model_path_matches_unfused():
         d = np.max(np.abs(np.asarray(p_pair[k], np.float32)
                           - np.asarray(p_plain[k], np.float32)))
         assert d < 0.05, (k, d)   # bf16 path tolerance (f32-accum gates)
+
+
+def test_gru_bwd_kernel_matches_xla_backward():
+    """The fused Pallas BACKWARD kernel (gru_hside._BWD_KERNEL, interpret
+    mode) must produce the same cotangents as the hand-written XLA backward
+    — params, gx, and state, including multi-tile grids with halos and
+    zero-padding borders."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import layers as L
+    from rpg_ramnet_tpu.ops import gru_hside
+    from rpg_ramnet_tpu.ops.gru_hside import conv_gru_hside_fused
+
+    rng = np.random.RandomState(1)
+    for (B, H, W, C) in ((1, 32, 16, 8), (2, 16, 16, 16)):
+        p = L.conv_gru_init(jax.random.PRNGKey(0), C, C, 3, jnp.float32)
+        h = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        gx = L.conv_gru_x_gates(p, jnp.asarray(
+            rng.randn(B, H, W, C).astype(np.float32)))
+
+        def loss(p, gx, h):
+            return jnp.sum(jnp.sin(conv_gru_hside_fused(p, gx, h,
+                                                        interpret=True)))
+
+        ref = jax.grad(loss, argnums=(0, 1, 2))(p, gx, h)
+        old = gru_hside._BWD_KERNEL
+        gru_hside._BWD_KERNEL = True
+        try:
+            got = jax.grad(loss, argnums=(0, 1, 2))(p, gx, h)
+        finally:
+            gru_hside._BWD_KERNEL = old
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4,
+                err_msg=str((B, H, W, C))),
+            ref, got)
+    # hardware support: bf16 + aligned only
+    assert gru_hside.bwd_supports(jnp.zeros((1, 16, 16, 8), jnp.bfloat16))
+    assert not gru_hside.bwd_supports(jnp.zeros((1, 16, 16, 8), jnp.float32))

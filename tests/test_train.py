@@ -509,3 +509,58 @@ def test_remat_policy_equivalence():
                 np.asarray(a), np.asarray(b), atol=1e-6,
                 err_msg=f"deferred={deferred}"),
             outs["none"][1], outs["enc_out"][1])
+
+
+def test_precompute_x_fused_bwd_kernel_training_grads_match(monkeypatch):
+    """Same full-training-path equivalence, with the Pallas BACKWARD kernel
+    (gru_hside._BWD_KERNEL) on the remat'd scan's reverse pass: loss and all
+    gradients must match the unfused path."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+    from rpg_ramnet_tpu.core.config import Config
+    from rpg_ramnet_tpu.ops import gru_hside
+
+    real_pick = gru_hside._pick_tile_h
+
+    def fake_supports(prev_state, lstm=False):
+        if prev_state.ndim != 4:
+            return False
+        _, H, W, C = prev_state.shape
+        budget = 256 * 1024 if lstm else 512 * 1024
+        return (real_pick(H, W, C, 4, budget=budget) > 0
+                and W % 8 == 0 and C % 8 == 0)
+
+    monkeypatch.setattr(gru_hside, "supports", fake_supports)
+    monkeypatch.setattr(gru_hside, "bwd_supports", lambda h: h.ndim == 4)
+    monkeypatch.setattr(gru_hside, "_INTERPRET", True)
+
+    raw = tiny_config(state_combination="convgru").raw
+    raw_def = {**raw, "trainer": {**raw["trainer"], "deferred_decode": True,
+                                  "precompute_x": True}}
+    cfg_unfused = Config.from_dict({**raw_def,
+                                    "model": {**raw_def["model"],
+                                              "fused_gru": "off"}})
+    cfg_fused = Config.from_dict({**raw_def,
+                                  "model": {**raw_def["model"],
+                                            "fused_gru": "on"}})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0),
+                                             cfg_fused.model)
+    rng = np.random.RandomState(0)
+    B, L, K, H, W = 2, 2, 3, 16, 16
+    batch = {"events": jnp.asarray(rng.randn(B, L, K, H, W, 5).astype(np.float32)),
+             "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+             "depth_events": jnp.asarray(rng.rand(B, L, K, H, W, 1).astype(np.float32)),
+             "depth_image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32))}
+    state0 = ERGB2DepthRecurrent.init_state(cfg_fused.model, B, H, W)
+    loss_fn_ref = make_sequence_loss(cfg_unfused, remat=True)
+    (l_ref, _), g_ref = jax.value_and_grad(loss_fn_ref, has_aux=True)(
+        params, state0, batch)
+    monkeypatch.setattr(gru_hside, "_BWD_KERNEL", True)
+    loss_fn = make_sequence_loss(cfg_fused, remat=True)
+    (l_k, _), g_k = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, state0, batch)
+    assert abs(float(l_ref) - float(l_k)) < 1e-5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=5e-5, rtol=1e-3),
+        g_ref, g_k)
