@@ -146,7 +146,8 @@ def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
 def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
                       dtype="float32", with_costs=False, precompute=False,
                       fused_gru="auto", fused_decoder="auto",
-                      composed_decoder="auto", scan_unroll=1):
+                      composed_decoder="auto", scan_unroll=1,
+                      fused_pair="auto"):
     """Offline chunked streaming (test.py --scan_chunk semantics): scan the
     sequential encoder+GRU work over L packages, decode ALL L*(K+1)
     snapshots in ONE batch (model.forward_sequence_batched_decode; outputs
@@ -170,7 +171,7 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
         "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
         "baseline": False, "compute_dtype": dtype,
         "fused_gru": fused_gru, "fused_decoder": fused_decoder,
-        "composed_decoder": composed_decoder})
+        "composed_decoder": composed_decoder, "fused_pair": fused_pair})
     K = mcfg.every_x_rgb_frame
     allow_comp = composed_decoder == "on"   # mirrors the inference engines
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
