@@ -120,3 +120,50 @@ class TestDisplayMath:
     # NOTE: constructing ImageDisplay in a headless build can abort inside
     # cv2's C layer (not a catchable Python exception), so the GUI classes
     # stay unconstructed here; only their math is tested.
+
+
+def test_interactive_display_pipeline_with_mocked_gui(monkeypatch):
+    """Full ImageDisplay/DepthDisplay/Trackbar pipeline with the cv2 window
+    layer mocked: trackbar positions must drive the LUT chain
+    (contrast/brightness then gamma — image_display_utils.py:25-166) and
+    DepthDisplay must route through depth_to_display before showing.  Only
+    actual window creation needs a physical display; everything else is
+    covered here."""
+    import sys
+    import types
+    from rpg_ramnet_tpu.eval import display as D
+
+    shown = {}
+    bars = {}
+
+    fake = types.SimpleNamespace()
+    fake.error = RuntimeError
+    fake.namedWindow = lambda name: None
+    fake.createTrackbar = (
+        lambda name, win, val, mx, cb: bars.__setitem__((name, win), val))
+    fake.getTrackbarPos = lambda name, win: bars[(name, win)]
+    fake.imshow = lambda win, img: shown.__setitem__(win, img)
+    fake.waitKey = lambda t: None
+    monkeypatch.setitem(sys.modules, "cv2", fake)
+
+    disp = D.ImageDisplay("win")
+    img = (np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8))
+    # defaults: contrast 1.0, brightness 0, gamma 1.0 -> identity chain
+    disp.show(img)
+    u8 = np.clip(img * 255, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(shown["win"], u8)
+
+    # crank the trackbars: contrast 2.0, brightness 10, gamma 2.0
+    bars[("contrast x10", "win")] = 20
+    bars[("brightness", "win")] = 10
+    bars[("gamma x10", "win")] = 20
+    disp.show(img)
+    want = D.apply_gamma(
+        D.apply_contrast_brightness(u8, 2.0, 10.0), 2.0)
+    np.testing.assert_array_equal(shown["win"], want)
+
+    ddisp = D.DepthDisplay("dwin", mode="log_inverse")
+    depth = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)
+    ddisp.show(depth)
+    want_d = D.depth_to_display(depth, "log_inverse", 3.70378)
+    np.testing.assert_array_equal(shown["dwin"], want_d)
