@@ -397,10 +397,16 @@ def check_fused_parity(H=256, W=512, L=2, tol=0.05):
     # validate, so it gets the same every-bench hardware guard
     _, p_chunk = jax.jit(lambda: M.forward_sequence_precomputed(
         params, comp, st0, seq, chunk_cells=True))()
+    # cross-scale merged pair launch (opt-in, round 4)
+    pair = dataclasses.replace(mcfg, fused_decoder="off",
+                               composed_decoder="off", fused_pair="on")
+    _, p_pair = jax.jit(lambda: M.forward_sequence_precomputed(
+        params, pair, st0, seq))()
     worst = 0.0
     for name, p_alt in (("fused GRU cells + fused decoder", p_fused),
                         ("composed decoder layers", p_comp),
-                        ("whole-chunk resident-state kernel", p_chunk)):
+                        ("whole-chunk resident-state kernel", p_chunk),
+                        ("cross-scale merged pair launch", p_pair)):
         for k in p_plain:
             d = float(jnp.max(jnp.abs(p_alt[k].astype(jnp.float32)
                                       - p_plain[k].astype(jnp.float32))))
