@@ -33,6 +33,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, join(REPO, "tests"))
 
+# honor JAX_PLATFORMS in THIS process too (this rig's sitecustomize
+# force-registers a TPU plugin, so the env var alone is not enough —
+# CLAUDE.md; without this, in-process jax calls hang when the TPU tunnel
+# is down even under JAX_PLATFORMS=cpu)
+from rpg_ramnet_tpu.utils import ensure_platform  # noqa: E402
+ensure_platform()
+
 CKPT_URL = "http://rpg.ifi.uzh.ch/data/RAM_Net/checkpoints/ramnet_sim.pth.tar"
 DATA_URL = "http://rpg.ifi.uzh.ch/data/RAM_Net/dataset/Town05_test.zip"
 
