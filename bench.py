@@ -656,13 +656,15 @@ def main():
         finally:
             save()
 
-    vs = (fps_headline / torch_fps if fps_headline and torch_fps
-          else float("nan"))
+    vs = (round(fps_headline / torch_fps, 3)
+          if fps_headline and torch_fps else None)   # null, not NaN:
+    # json.dumps would emit bare NaN (invalid strict JSON) and could break
+    # the driver's parser
     print(json.dumps({"metric": "e2e_depth_fps_256x512",
                       "value": round(fps_headline, 3) if fps_headline
                       else None,
                       "unit": "depth_maps/s",
-                      "vs_baseline": round(vs, 3)}),
+                      "vs_baseline": vs}),
           file=real_stdout)
     real_stdout.flush()
     if fps_headline is None:
