@@ -526,7 +526,7 @@ def bench_voxelizer(n_events=1_000_000, num_bins=5, H=260, W=346,
     cpu_mevs = n_events / cpu_sec / 1e6
 
     out = {"cpu_np_add_at_mevs": cpu_mevs}
-    try:  # native C++ host kernel
+    try:  # native C++ host kernel (serial + all-cores threaded)
         from rpg_ramnet_tpu.native import voxelize_native
         ev32_np = np.ascontiguousarray(ev.astype(np.float32))
         if voxelize_native(ev32_np, num_bins, H, W) is not None:
@@ -534,6 +534,12 @@ def bench_voxelizer(n_events=1_000_000, num_bins=5, H=260, W=346,
             voxelize_native(ev32_np, num_bins, H, W)
             out["cpu_native_mevs"] = n_events / (time.perf_counter() - t0) / 1e6
             out["cpu_native_vs_np"] = out["cpu_native_mevs"] / cpu_mevs
+            voxelize_native(ev32_np, num_bins, H, W, threads=0)  # warm
+            t0 = time.perf_counter()
+            voxelize_native(ev32_np, num_bins, H, W, threads=0)
+            out["cpu_native_mt_mevs"] = \
+                n_events / (time.perf_counter() - t0) / 1e6
+            out["cpu_native_mt_threads"] = os.cpu_count()
     except Exception:
         pass
     backend = jax.default_backend()

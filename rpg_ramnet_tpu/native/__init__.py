@@ -26,7 +26,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                        "-o", _LIB, _SRC], check=True, capture_output=True)
+                        "-pthread", "-o", _LIB, _SRC], check=True,
+                       capture_output=True)
         return True
     except Exception:
         return False
@@ -48,6 +49,11 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.ramnet_voxelize_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+        lib.ramnet_voxelize_f32_mt.restype = ctypes.c_int
+        lib.ramnet_voxelize_f32_mt.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int]
         lib.ramnet_normalize_nonzero_f32.restype = ctypes.c_int
         lib.ramnet_normalize_nonzero_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
@@ -66,15 +72,25 @@ def _fptr(a: np.ndarray):
 
 
 def voxelize_native(events: np.ndarray, num_bins: int, height: int,
-                    width: int, normalize: bool = False) -> Optional[np.ndarray]:
-    """Native host voxelizer; returns None if the library is unavailable."""
+                    width: int, normalize: bool = False,
+                    threads: int = 1) -> Optional[np.ndarray]:
+    """Native host voxelizer; returns None if the library is unavailable.
+    threads: 1 = serial (bit-exact np.add.at order); 0 = all cores, N = N
+    threads (per-thread partial grids + parallel reduce; same values,
+    reassociated float summation order)."""
     lib = load_native()
     if lib is None:
         return None
     ev = np.ascontiguousarray(events, np.float32)
     out = np.empty(num_bins * height * width, np.float32)
-    lib.ramnet_voxelize_f32(_fptr(ev), ev.shape[0], num_bins, height, width,
-                            _fptr(out))
+    if threads == 1:
+        lib.ramnet_voxelize_f32(_fptr(ev), ev.shape[0], num_bins, height,
+                                width, _fptr(out))
+    else:
+        # 0 = hardware concurrency; kernel falls back to serial below 128K
+        # events (thread spawn + reduce overheads dominate there)
+        lib.ramnet_voxelize_f32_mt(_fptr(ev), ev.shape[0], num_bins, height,
+                                   width, _fptr(out), threads)
     if normalize:
         lib.ramnet_normalize_nonzero_f32(_fptr(out), out.size)
     return out.reshape(num_bins, height, width)

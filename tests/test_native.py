@@ -61,3 +61,22 @@ def test_host_dispatcher_uses_native():
     b = ops.normalize_voxel_grid_np(
         ops.events_to_voxel_grid_np(ev.astype(np.float64), 5, 40, 60))
     np.testing.assert_allclose(a, b, atol=2e-3, rtol=2e-3)
+
+
+def test_native_voxelize_mt_matches_serial():
+    """Multi-threaded native voxelizer (per-thread partial grids + parallel
+    reduce) == serial within float reassociation, incl. above the 128K
+    serial-fallback threshold."""
+    if load_native() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(3)
+    n = 300_000
+    t = np.sort(rng.uniform(0, 0.05, n))
+    ev = np.stack([t, rng.randint(0, 60, n).astype(float),
+                   rng.randint(0, 40, n).astype(float),
+                   rng.randint(0, 2, n).astype(float)], 1).astype(np.float32)
+    a = voxelize_native(ev, 5, 40, 60, threads=1)
+    for nt in (0, 2, 4):
+        b = voxelize_native(ev, 5, 40, 60, threads=nt)
+        np.testing.assert_allclose(b, a, atol=1e-3, rtol=1e-5)
