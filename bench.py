@@ -693,9 +693,32 @@ def main():
 
     def _parity():
         # hardware parity guard: fused Pallas kernels (cells, decoder,
-        # whole-chunk) vs XLA must agree every bench run — a Mosaic
-        # regression fails loudly here instead of shipping wrong numbers
-        details["fused_parity_max_diff"] = check_fused_parity()
+        # whole-chunk, pair) vs XLA must agree every bench run — a Mosaic
+        # regression fails loudly here instead of shipping wrong numbers.
+        # The headline printed BEFORE this guard (driver-capture first);
+        # if the guard fails AND the headline used the fused path, measure
+        # the all-XLA configuration and print a corrected line — the wrong-
+        # numerics number must not stand as the record.
+        try:
+            details["fused_parity_max_diff"] = check_fused_parity()
+        except Exception:
+            details["fused_parity_FAILED"] = True
+            save()
+            if details.get("headline_source") == \
+                    "jax_fps_single_stream_chunked_bf16_precompute":
+                corrected = bench_chunked_fps(
+                    lanes=1, L=16, dtype="bfloat16", precompute=True,
+                    fused_gru="off", fused_decoder="off",
+                    composed_decoder="off")
+                details["jax_fps_corrected_all_xla"] = corrected
+                vs2 = (round(corrected / torch_fps, 3) if torch_fps
+                       else None)
+                print(json.dumps({"metric": "e2e_depth_fps_256x512",
+                                  "value": round(corrected, 3),
+                                  "unit": "depth_maps/s",
+                                  "vs_baseline": vs2}), file=real_stdout)
+                real_stdout.flush()
+            raise
 
     def _vox():
         details["voxelizer"] = bench_voxelizer()
