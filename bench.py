@@ -147,7 +147,7 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
                       dtype="float32", with_costs=False, precompute=False,
                       fused_gru="auto", fused_decoder="auto",
                       composed_decoder="auto", scan_unroll=1,
-                      fused_pair="auto"):
+                      fused_pair="auto", fused_stream="auto"):
     """Offline chunked streaming (test.py --scan_chunk semantics): scan the
     sequential encoder+GRU work over L packages, decode ALL L*(K+1)
     snapshots in ONE batch (model.forward_sequence_batched_decode; outputs
@@ -171,7 +171,8 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
         "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
         "baseline": False, "compute_dtype": dtype,
         "fused_gru": fused_gru, "fused_decoder": fused_decoder,
-        "composed_decoder": composed_decoder, "fused_pair": fused_pair})
+        "composed_decoder": composed_decoder, "fused_pair": fused_pair,
+        "fused_stream": fused_stream})
     K = mcfg.every_x_rgb_frame
     allow_comp = composed_decoder == "on"   # mirrors the inference engines
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
@@ -402,11 +403,16 @@ def check_fused_parity(H=256, W=512, L=2, tol=0.05):
                                composed_decoder="off", fused_pair="on")
     _, p_pair = jax.jit(lambda: M.forward_sequence_precomputed(
         params, pair, st0, seq))()
+    # gx-streaming cells (opt-in, round 4): scalar-prefetched block
+    # indexing is another Mosaic behavior interpret mode cannot validate
+    _, p_stream = jax.jit(lambda: M.forward_sequence_precomputed(
+        params, comp, st0, seq, stream_cells=True))()
     worst = 0.0
     for name, p_alt in (("fused GRU cells + fused decoder", p_fused),
                         ("composed decoder layers", p_comp),
                         ("whole-chunk resident-state kernel", p_chunk),
-                        ("cross-scale merged pair launch", p_pair)):
+                        ("cross-scale merged pair launch", p_pair),
+                        ("gx-streaming cells", p_stream)):
         for k in p_plain:
             d = float(jnp.max(jnp.abs(p_alt[k].astype(jnp.float32)
                                       - p_plain[k].astype(jnp.float32))))

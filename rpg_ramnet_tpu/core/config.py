@@ -52,6 +52,12 @@ class ModelConfig:
     # one pallas_call, removing one custom-call boundary per modality step.
     # OPT-IN ONLY ('on'); requires fused_gru to be active for both scales.
     fused_pair: str = "auto"
+    # gx-streaming h-side cells on the precomputed single-stream path
+    # (ops/gru_stream.py): the scan closes over the full gx buffers and
+    # cells read their step blocks via scalar-prefetched index maps — no
+    # per-step operand materialization.  OPT-IN ONLY ('on') pending
+    # hardware measurement; batch-1, convgru, bf16.
+    fused_stream: str = "auto"
     # fused Pallas upsample+5x5-conv decoder layers on inference paths
     # (ops/upsample_conv.py): OPT-IN ONLY ('on'); 'auto' is off — the
     # kernel wins isolated microbenches but loses in context on v5e
@@ -94,6 +100,7 @@ class ModelConfig:
             fast_upsample=bool(d.get("fast_upsample", False)),
             fused_gru=str(d.get("fused_gru", "auto")),
             fused_pair=str(d.get("fused_pair", "auto")),
+            fused_stream=str(d.get("fused_stream", "auto")),
             fused_decoder=str(d.get("fused_decoder", "auto")),
             composed_decoder=str(d.get("composed_decoder", "auto")),
         )

@@ -397,7 +397,8 @@ class ERGB2DepthRecurrent:
                                      decode_keys: Optional[Sequence[str]] = None,
                                      squeeze_preds: bool = False,
                                      unroll: int = 1,
-                                     chunk_cells: bool = False):
+                                     chunk_cells: bool = False,
+                                     stream_cells: Optional[bool] = None):
         """forward_sequence_batched_decode with the per-step x-side work ALSO
         hoisted out of the scan: for recurrent_block_type='conv' +
         state_combination='convgru' (the flagship recipe) the encoder chain
@@ -504,6 +505,56 @@ class ERGB2DepthRecurrent:
                                       allow_fused_decoder=True,
                                       allow_composed=True)
             return state._replace(super_states=tuple(new_supers)), preds
+
+        if stream_cells is None:
+            stream_cells = getattr(cfg, "fused_stream", "auto") == "on"
+        if stream_cells:
+            # round 4: gx-STREAMING cells — the scan closes over the full
+            # gx buffers and carries only the package index; each cell
+            # reads its gx block via a scalar-prefetched BlockSpec index
+            # map, so the per-step slice materialization that custom-call
+            # operands force disappears (ops/gru_stream.py).
+            from ..ops import gru_stream
+            if (cfg.state_combination != "convgru" or b != 1
+                    or reset_t is not None
+                    or not all(gru_stream.supports(s)
+                               for s in state.super_states)):
+                raise ValueError(
+                    "stream_cells requires convgru state combination, "
+                    "batch 1, no reset mask, and fused-cell-supported "
+                    "(bf16, aligned) super states")
+            combs_e = params["state_combination_events"]
+            combs_i = params["state_combination_images"]
+            plans = [gru_stream.StreamPlan(
+                         combs_e[i]["recurrent_block"],
+                         combs_i[i]["recurrent_block"],
+                         gx_ev[i], gx_im[i], state.super_states[i])
+                     for i in range(len(state.super_states))]
+
+            def stream_step(supers, pkg_idx):
+                snaps = []
+                for k in range(loop):
+                    supers = tuple(pl_.step(h, pkg_idx, k)
+                                   for pl_, h in zip(plans, supers))
+                    if f"events{k}" in sel_keys:
+                        snaps.append(statenet.supers_decoder_view(cfg,
+                                                                  supers))
+                supers = tuple(pl_.step(h, pkg_idx)
+                               for pl_, h in zip(plans, supers))
+                if "image" in sel_keys:
+                    snaps.append(statenet.supers_decoder_view(cfg, supers))
+                stacked = jax.tree_util.tree_map(
+                    lambda *leaves: jnp.concatenate(leaves, axis=0), *snaps)
+                return supers, stacked
+
+            final_supers, snapshots = jax.lax.scan(
+                stream_step, tuple(state.super_states),
+                jnp.arange(l, dtype=jnp.int32), unroll=unroll)
+            preds = _decode_snapshots(params, cfg, snapshots, sel_keys, l,
+                                      b, squeeze_preds,
+                                      allow_fused_decoder=True,
+                                      allow_composed=True)
+            return state._replace(super_states=final_supers), preds
 
         def step(supers, gx):
             reset = gx[2] if len(gx) == 3 else None

@@ -630,3 +630,50 @@ def test_composed_decoder_optin_through_engines(test_split):
     item, _ = dataset[0]
     preds = eng.step({"events": item["events"][0], "image": item["image"][0]})
     np.testing.assert_allclose(preds["image"], ref[0], atol=1e-5, rtol=1e-5)
+
+
+def test_sequence_precomputed_stream_cells_matches_scan():
+    """forward_sequence_precomputed(stream_cells=True): the gx-streaming
+    Pallas cells (ops/gru_stream, scalar-prefetched gx block indexing,
+    interpret mode on CPU) must match the standard precomputed scan."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.ops import gru_stream
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "recurrent_block_type":
+        "conv", "state_combination": "convgru", "num_encoders": 3,
+        "base_num_channels": 4, "every_x_rgb_frame": 2, "baseline": False,
+        "skip_type": "sum", "norm": "none", "compute_dtype": "bfloat16"})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    st0 = ERGB2DepthRecurrent.init_state(mcfg, 1, 64, 64)
+    rng = np.random.RandomState(0)
+    L, K = 3, 2
+    seq = {"events": jnp.asarray(
+               rng.randn(1, L, K, 64, 64, 5).astype(np.float32)),
+           "image": jnp.asarray(rng.rand(1, L, 64, 64, 1).astype(np.float32))}
+    sA, ref = ERGB2DepthRecurrent.forward_sequence_precomputed(
+        params, mcfg, st0, seq)
+    gru_stream._INTERPRET = True
+    try:
+        sB, got = ERGB2DepthRecurrent.forward_sequence_precomputed(
+            params, mcfg, st0, seq, stream_cells=True)
+    finally:
+        gru_stream._INTERPRET = False
+    for k in ref:
+        d = np.max(np.abs(np.asarray(got[k], np.float32)
+                          - np.asarray(ref[k], np.float32)))
+        assert d < 0.05, (k, d)   # bf16 tolerance (f32-accum kernel gates)
+    for a, b in zip(sA.super_states, sB.super_states):
+        d = np.max(np.abs(np.asarray(a, np.float32)
+                          - np.asarray(b, np.float32)))
+        assert d < 0.05, d
+
+    # rejection: batch > 1 / reset masks are unsupported
+    st2 = ERGB2DepthRecurrent.init_state(mcfg, 2, 64, 64)
+    seq2 = {"events": jnp.asarray(
+                rng.randn(2, L, K, 64, 64, 5).astype(np.float32)),
+            "image": jnp.asarray(rng.rand(2, L, 64, 64, 1).astype(np.float32))}
+    import pytest
+    with pytest.raises(ValueError):
+        ERGB2DepthRecurrent.forward_sequence_precomputed(
+            params, mcfg, st2, seq2, stream_cells=True)
