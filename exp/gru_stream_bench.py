@@ -22,6 +22,7 @@ out = {}
 for name, kw in (
         ("baseline", {}),
         ("stream", {"fused_stream": "on"}),
+        ("stream_pair", {"fused_stream": "on", "fused_pair": "on"}),
 ):
     try:
         fps = bench_chunked_fps(lanes=1, L=16, dtype="bfloat16",

@@ -531,16 +531,29 @@ class ERGB2DepthRecurrent:
                          gx_ev[i], gx_im[i], state.super_states[i])
                      for i in range(len(state.super_states))]
 
+            # optional cross-scale merge: scales 0+1 share one launch per
+            # step (the gru_pair dispatch structure + streamed gx)
+            pair = (getattr(cfg, "fused_pair", "auto") == "on"
+                    and len(plans) >= 2)
+
+            def one_step(supers, pkg_idx, k):
+                if pair:
+                    h0, h1 = gru_stream.stream_pair_step(
+                        plans[0], plans[1], supers[0], supers[1], pkg_idx, k)
+                    rest = tuple(pl_.step(h, pkg_idx, k)
+                                 for pl_, h in zip(plans[2:], supers[2:]))
+                    return (h0, h1) + rest
+                return tuple(pl_.step(h, pkg_idx, k)
+                             for pl_, h in zip(plans, supers))
+
             def stream_step(supers, pkg_idx):
                 snaps = []
                 for k in range(loop):
-                    supers = tuple(pl_.step(h, pkg_idx, k)
-                                   for pl_, h in zip(plans, supers))
+                    supers = one_step(supers, pkg_idx, k)
                     if f"events{k}" in sel_keys:
                         snaps.append(statenet.supers_decoder_view(cfg,
                                                                   supers))
-                supers = tuple(pl_.step(h, pkg_idx)
-                               for pl_, h in zip(plans, supers))
+                supers = one_step(supers, pkg_idx, None)
                 if "image" in sel_keys:
                     snaps.append(statenet.supers_decoder_view(cfg, supers))
                 stacked = jax.tree_util.tree_map(

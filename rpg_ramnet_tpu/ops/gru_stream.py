@@ -35,14 +35,13 @@ from .gru_hside import _conv9, _fold3, _pick_tile_h, supports  # noqa: F401
 _INTERPRET = False
 
 
-def _stream_kernel(s_ref, h_prev, h_cur, h_next, gx, grt, grb, w_ur, w_o,
-                   out_ref, *, tile_h: int, H: int, W: int, C: int):
-    """One h-side ConvGRU completion on tile i, gx block selected by the
-    prefetched step scalar.  h arrives with v1-style neighbor blocks
-    (2-row halo via prev/next); gxr's 1-row halo arrives as skinny
-    side-array rows (zero/garbage edge rows are killed by the h mask,
-    as in the v1/v2 kernels)."""
-    i = pl.program_id(0)
+def _stream_cell_math(i, h_prev, h_cur, h_next, gx, grt, grb, w_ur, w_o,
+                      *, tile_h: int, H: int, W: int, C: int):
+    """Shared stream-cell body: one h-side ConvGRU completion on tile i,
+    gx block pre-selected by the prefetched step scalar.  h arrives with
+    v1-style neighbor blocks (2-row halo via prev/next); gxr's 1-row halo
+    arrives as skinny side-array rows (zero/garbage edge rows are killed
+    by the h mask, as in the v1/v2 kernels)."""
     t = tile_h
     dt = h_cur.dtype
 
@@ -61,7 +60,37 @@ def _stream_kernel(s_ref, h_prev, h_cur, h_next, gx, grt, grb, w_ur, w_o,
     out_g = jnp.tanh(_conv9(a, w_o, t, C).reshape(t, W, C)
                      + g[..., 2 * C:].astype(jnp.float32))
     h_int = hb[2:t + 2].astype(jnp.float32)
-    out_ref[...] = (h_int * (1.0 - z) + out_g * z).astype(dt)
+    return (h_int * (1.0 - z) + out_g * z).astype(dt)
+
+
+def _stream_kernel(s_ref, h_prev, h_cur, h_next, gx, grt, grb, w_ur, w_o,
+                   out_ref, *, tile_h: int, H: int, W: int, C: int):
+    out_ref[...] = _stream_cell_math(
+        pl.program_id(0), h_prev, h_cur, h_next, gx, grt, grb, w_ur, w_o,
+        tile_h=tile_h, H=H, W=W, C=C)
+
+
+def _stream_pair_kernel(s_ref,
+                        h0p, h0c, h0n, gx0, g0t, g0b, w0ur, w0o,
+                        h1p, h1c, h1n, gx1, g1t, g1b, w1ur, w1o,
+                        out0, out1, *, t0: int, H0: int, W0: int, C0: int,
+                        n0: int, t1: int, H1: int, W1: int, C1: int):
+    """Two scales' stream cells in ONE launch (ops/gru_pair's dispatch
+    structure + the scalar-prefetched gx indexing): grid (n0 + n1),
+    pl.when on the grid position, per-scale clamped index maps."""
+    j = pl.program_id(0)
+
+    @pl.when(j < n0)
+    def _scale0():
+        out0[...] = _stream_cell_math(
+            j, h0p, h0c, h0n, gx0, g0t, g0b, w0ur, w0o,
+            tile_h=t0, H=H0, W=W0, C=C0)
+
+    @pl.when(j >= n0)
+    def _scale1():
+        out1[...] = _stream_cell_math(
+            j - n0, h1p, h1c, h1n, gx1, g1t, g1b, w1ur, w1o,
+            tile_h=t1, H=H1, W=W1, C=C1)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
@@ -96,6 +125,84 @@ def _run_stream(sel, h, gx_seq, gxr_top, gxr_bot, w_ur, w_o, tile_h,
         out_shape=jax.ShapeDtypeStruct((H, W, C), h.dtype),
         interpret=interpret,
     )(sel, h, h, h, gx_seq, gxr_top, gxr_bot, w_ur, w_o)
+
+
+@functools.partial(jax.jit, static_argnames=("t0", "t1", "interpret"))
+def _run_stream_pair(sel, h0, gx0, g0t, g0b, w0ur, w0o,
+                     h1, gx1, g1t, g1b, w1ur, w1o, t0, t1,
+                     interpret=False):
+    H0, W0, C0 = h0.shape
+    H1, W1, C1 = h1.shape
+    n0, n1 = H0 // t0, H1 // t1
+
+    def m0(off=0):
+        return lambda j, s: (jnp.clip(j + off, 0, n0 - 1), 0, 0)
+
+    def m1(off=0):
+        return lambda j, s: (jnp.clip(j - n0 + off, 0, n1 - 1), 0, 0)
+
+    def gxm(n, base):
+        if base == 0:
+            return lambda j, s: (s[0], jnp.clip(j, 0, n - 1), 0, 0)
+        return lambda j, s: (s[0], jnp.clip(j - base, 0, n - 1), 0, 0)
+
+    def halom(n, base):
+        if base == 0:
+            return lambda j, s: (s[0], jnp.clip(j, 0, n - 1), 0, 0, 0)
+        return lambda j, s: (s[0], jnp.clip(j - base, 0, n - 1), 0, 0, 0)
+
+    wconst = lambda *shape: pl.BlockSpec(                      # noqa: E731
+        shape, lambda j, s: (0,) * len(shape))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n0 + n1,),
+        in_specs=[
+            pl.BlockSpec((t0, W0, C0), m0(-1)),
+            pl.BlockSpec((t0, W0, C0), m0(0)),
+            pl.BlockSpec((t0, W0, C0), m0(1)),
+            pl.BlockSpec((1, t0, W0, 3 * C0), gxm(n0, 0)),
+            pl.BlockSpec((1, 1, 1, W0, C0), halom(n0, 0)),
+            pl.BlockSpec((1, 1, 1, W0, C0), halom(n0, 0)),
+            wconst(3, 3 * C0, 2 * C0), wconst(3, 3 * C0, C0),
+            pl.BlockSpec((t1, W1, C1), m1(-1)),
+            pl.BlockSpec((t1, W1, C1), m1(0)),
+            pl.BlockSpec((t1, W1, C1), m1(1)),
+            pl.BlockSpec((1, t1, W1, 3 * C1), gxm(n1, n0)),
+            pl.BlockSpec((1, 1, 1, W1, C1), halom(n1, n0)),
+            pl.BlockSpec((1, 1, 1, W1, C1), halom(n1, n0)),
+            wconst(3, 3 * C1, 2 * C1), wconst(3, 3 * C1, C1),
+        ],
+        out_specs=(pl.BlockSpec((t0, W0, C0), m0(0)),
+                   pl.BlockSpec((t1, W1, C1), m1(0))),
+    )
+    return pl.pallas_call(
+        functools.partial(_stream_pair_kernel, t0=t0, H0=H0, W0=W0, C0=C0,
+                          n0=n0, t1=t1, H1=H1, W1=W1, C1=C1),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((H0, W0, C0), h0.dtype),
+                   jax.ShapeDtypeStruct((H1, W1, C1), h1.dtype)),
+        interpret=interpret,
+    )(sel, h0, h0, h0, gx0, g0t, g0b, w0ur, w0o,
+      h1, h1, h1, gx1, g1t, g1b, w1ur, w1o)
+
+
+def stream_pair_step(plan0: "StreamPlan", plan1: "StreamPlan", h0, h1,
+                     pkg_idx, k=None):
+    """One modality step's h-side completions for scales 0 AND 1 in a
+    single launch, gx blocks selected by the prefetched step scalar.
+    h_i: [1, h, w, C_i] -> same."""
+    interp = _INTERPRET or jax.default_backend() == "cpu"
+    if k is None:
+        sel = jnp.reshape(pkg_idx, (1,)).astype(jnp.int32)
+        a0 = (plan0.gx_im, plan0.im_top, plan0.im_bot) + plan0.w_im
+        a1 = (plan1.gx_im, plan1.im_top, plan1.im_bot) + plan1.w_im
+    else:
+        sel = jnp.reshape(pkg_idx * plan0.loop + k, (1,)).astype(jnp.int32)
+        a0 = (plan0.gx_ev, plan0.ev_top, plan0.ev_bot) + plan0.w_ev
+        a1 = (plan1.gx_ev, plan1.ev_top, plan1.ev_bot) + plan1.w_ev
+    o0, o1 = _run_stream_pair(sel, h0[0], *a0, h1[0], *a1,
+                              plan0.tile, plan1.tile, interpret=interp)
+    return o0[None], o1[None]
 
 
 def seq_halos(gx_seq, tile_h: int, C: int):

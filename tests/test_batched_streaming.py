@@ -677,3 +677,39 @@ def test_sequence_precomputed_stream_cells_matches_scan():
     with pytest.raises(ValueError):
         ERGB2DepthRecurrent.forward_sequence_precomputed(
             params, mcfg, st2, seq2, stream_cells=True)
+
+
+def test_sequence_precomputed_stream_pair_matches_scan():
+    """stream_cells + fused_pair='on': scales 0+1 share one scalar-
+    prefetched launch per step; outputs must match the standard
+    precomputed scan (interpret mode)."""
+    import jax.numpy as jnp
+    import dataclasses
+    from rpg_ramnet_tpu.ops import gru_stream
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "recurrent_block_type":
+        "conv", "state_combination": "convgru", "num_encoders": 3,
+        "base_num_channels": 4, "every_x_rgb_frame": 2, "baseline": False,
+        "skip_type": "sum", "norm": "none", "compute_dtype": "bfloat16",
+        "fused_pair": "on"})
+    off = dataclasses.replace(mcfg, fused_pair="off")
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(1), mcfg)
+    st0 = ERGB2DepthRecurrent.init_state(mcfg, 1, 64, 64)
+    rng = np.random.RandomState(1)
+    L, K = 2, 2
+    seq = {"events": jnp.asarray(
+               rng.randn(1, L, K, 64, 64, 5).astype(np.float32)),
+           "image": jnp.asarray(rng.rand(1, L, 64, 64, 1).astype(np.float32))}
+    _, ref = ERGB2DepthRecurrent.forward_sequence_precomputed(
+        params, off, st0, seq)
+    gru_stream._INTERPRET = True
+    try:
+        _, got = ERGB2DepthRecurrent.forward_sequence_precomputed(
+            params, mcfg, st0, seq, stream_cells=True)
+    finally:
+        gru_stream._INTERPRET = False
+    for k in ref:
+        d = np.max(np.abs(np.asarray(got[k], np.float32)
+                          - np.asarray(ref[k], np.float32)))
+        assert d < 0.05, (k, d)
