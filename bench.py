@@ -346,7 +346,7 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
     return out
 
 
-def check_fused_parity(H=256, W=512, L=2, tol=0.05):
+def check_fused_parity(H=256, W=512, L=2, tol=0.05, include_optin=True):
     """HARDWARE guard for the non-default numerics (run every bench): the
     shipped bf16 flagship path (fused GRU cells + fused decoder + composed
     transposed-conv upsample layers, all forced on) must agree with the
@@ -387,32 +387,37 @@ def check_fused_parity(H=256, W=512, L=2, tol=0.05):
     # the fused Pallas decoder takes per-layer precedence over the composed
     # formulation, so the composed layers need their own Pallas-free config
     comp = dataclasses.replace(mcfg, fused_gru="off", fused_decoder="off")
-    _, p_fused = jax.jit(lambda: M.forward_sequence_precomputed(
-        params, mcfg, st0, seq))()
-    _, p_comp = jax.jit(lambda: M.forward_sequence_precomputed(
-        params, comp, st0, seq))()
     _, p_plain = jax.jit(lambda: M.forward_sequence_precomputed(
         params, off, st0, seq))()
-    # the opt-in whole-chunk resident-state kernel (chunk_cells=True): its
-    # scratch-persistence behavior is exactly what interpret-mode CI cannot
-    # validate, so it gets the same every-bench hardware guard
-    _, p_chunk = jax.jit(lambda: M.forward_sequence_precomputed(
-        params, comp, st0, seq, chunk_cells=True))()
-    # cross-scale merged pair launch (opt-in, round 4)
-    pair = dataclasses.replace(mcfg, fused_decoder="off",
-                               composed_decoder="off", fused_pair="on")
-    _, p_pair = jax.jit(lambda: M.forward_sequence_precomputed(
-        params, pair, st0, seq))()
-    # gx-streaming cells (opt-in, round 4): scalar-prefetched block
-    # indexing is another Mosaic behavior interpret mode cannot validate
-    _, p_stream = jax.jit(lambda: M.forward_sequence_precomputed(
-        params, comp, st0, seq, stream_cells=True))()
+    legs = [("fused GRU cells + fused decoder", lambda: jax.jit(
+                 lambda: M.forward_sequence_precomputed(
+                     params, mcfg, st0, seq))()[1]),
+            ("composed decoder layers", lambda: jax.jit(
+                 lambda: M.forward_sequence_precomputed(
+                     params, comp, st0, seq))()[1])]
+    if include_optin:
+        # opt-in kernels (each a separate remote compile — covered on
+        # BENCH_FULL sweeps; the budget-bound driver path guards only the
+        # default-on kernels): whole-chunk resident-state scratch
+        # persistence, the cross-scale pair launch, and the
+        # scalar-prefetched gx-streaming cells — all Mosaic behaviors
+        # interpret-mode CI cannot validate
+        pair = dataclasses.replace(mcfg, fused_decoder="off",
+                                   composed_decoder="off", fused_pair="on")
+        legs += [
+            ("whole-chunk resident-state kernel", lambda: jax.jit(
+                 lambda: M.forward_sequence_precomputed(
+                     params, comp, st0, seq, chunk_cells=True))()[1]),
+            ("cross-scale merged pair launch", lambda: jax.jit(
+                 lambda: M.forward_sequence_precomputed(
+                     params, pair, st0, seq))()[1]),
+            ("gx-streaming cells", lambda: jax.jit(
+                 lambda: M.forward_sequence_precomputed(
+                     params, comp, st0, seq, stream_cells=True))()[1]),
+        ]
     worst = 0.0
-    for name, p_alt in (("fused GRU cells + fused decoder", p_fused),
-                        ("composed decoder layers", p_comp),
-                        ("whole-chunk resident-state kernel", p_chunk),
-                        ("cross-scale merged pair launch", p_pair),
-                        ("gx-streaming cells", p_stream)):
+    for name, run_leg in legs:
+        p_alt = run_leg()
         for k in p_plain:
             d = float(jnp.max(jnp.abs(p_alt[k].astype(jnp.float32)
                                       - p_plain[k].astype(jnp.float32))))
@@ -731,7 +736,10 @@ def main():
         # the all-XLA configuration and print a corrected line — the wrong-
         # numerics number must not stand as the record.
         try:
-            details["fused_parity_max_diff"] = check_fused_parity()
+            # budget-bound driver runs guard the default-on kernels only
+            # (2 compiles); BENCH_FULL sweeps cover the opt-in kernels too
+            details["fused_parity_max_diff"] = check_fused_parity(
+                include_optin=full)
         except Exception:
             details["fused_parity_FAILED"] = True
             save()
