@@ -457,13 +457,18 @@ def bench_torch_reference_fps(H=256, W=512, iters=3):
     return 6 / sec
 
 
-def bench_phased_fps(H=256, W=352, n_lo=2, n_hi=10, dtype="float32"):
+def bench_phased_fps(H=256, W=352, n_lo=2, n_hi=10, dtype="float32",
+                     fused_gru="off"):
     """Irregular-timestamp (MVSEC/BASELINE config 3) regime: the phased
     architecture (PhasedConvLSTM state combination; continuous `times`
     modulate the recurrent time gates — reference submodules.py:218-411,
     dormant on the vendored branch) streaming one package per step at the
     MVSEC-like resolution.  Reported so the second BASELINE regime has a
-    measured speed, not just parity tests."""
+    measured speed, not just parity tests.
+
+    fused_gru='on': the round-4 phased fused path — x/h-split Pallas LSTM
+    h-side cells in the phased encoders + the convlstm state combination
+    (bf16 only; statenet._use_fused_cell gates per scale)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -475,8 +480,9 @@ def bench_phased_fps(H=256, W=352, n_lo=2, n_hi=10, dtype="float32"):
         "recurrent_block_type": "convlstm", "state_combination": "convlstm",
         "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
         "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
-        "baseline": False, "compute_dtype": dtype,
+        "baseline": False, "compute_dtype": dtype, "fused_gru": fused_gru,
         "use_phased_arch": True, "spatial_resolution": [H, W]})
+    allow_fused = fused_gru == "on"
     K = mcfg.every_x_rgb_frame
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
     state0 = ERGB2DepthRecurrent.init_state(mcfg, 1, H, W)
@@ -501,7 +507,7 @@ def bench_phased_fps(H=256, W=352, n_lo=2, n_hi=10, dtype="float32"):
             pkg_i["times_events"] = pkg["times_events"] + dt
             pkg_i["times_image"] = pkg["times_image"] + dt
             st, preds = ERGB2DepthRecurrent.forward_package(
-                params, mcfg, st, pkg_i)
+                params, mcfg, st, pkg_i, allow_fused=allow_fused)
             acc = acc + sum(jnp.sum(p.astype(jnp.float32))
                             for p in preds.values())
             return (st, acc)
@@ -788,6 +794,15 @@ def main():
         # the irregular-timestamp (MVSEC) regime — BASELINE config 3
         details["jax_fps_phased_single_stream_256x352"] = bench_phased_fps()
 
+    def _phased_fused():
+        # round-4 phased fused path: bf16 + x/h-split Pallas LSTM h-side
+        # cells (phased encoders + convlstm state combination) + NHWC time
+        # gate; A/B against the plain bf16 point
+        details["jax_fps_phased_single_stream_256x352_bf16"] = \
+            bench_phased_fps(dtype="bfloat16")
+        details["jax_fps_phased_single_stream_256x352_bf16_fused"] = \
+            bench_phased_fps(dtype="bfloat16", fused_gru="on")
+
     def _lane64():
         # lane-batched record config (round 3): composed decoder unlocks
         # 64 lanes on this rig; explicit opt-in (float summation order)
@@ -872,6 +887,7 @@ def main():
         ("chunked_f32", _chunked_f32, 180),
         ("latency_mode", _latency, 200),
         ("phased_fps", _phased, 220),
+        ("phased_fps_bf16_fused", _phased_fused, 380),
         ("lane64_composed", _lane64, 200),
         ("train_f32", _train_f32, 220),
         ("train_bf16", _train_bf16, 220),

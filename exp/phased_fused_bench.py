@@ -1,0 +1,38 @@
+"""A/B of the round-4 phased-regime (MVSEC / BASELINE config 3) fused path.
+
+Legs, all on bench.bench_phased_fps's single-stream 256x352 streaming
+program (one package per step, irregular per-iteration times):
+  f32            — the round-3 baseline point (pre-NHWC-gate it also paid
+                   4 full-map NCHW transposes + 2 back per scale per step;
+                   that layout fix is now default-on for ALL legs)
+  bf16           — compute dtype only
+  bf16_fused     — + x/h-split Pallas LSTM h-side cells in the phased
+                   encoders AND the convlstm state combination
+                   (cfg.fused_gru='on'; statenet._use_fused_cell gates per
+                   scale: 128x176x64 / 64x88x128 fused, 32x44x256 falls
+                   back on W%8).
+Decision variable: maps/s.  If bf16_fused wins bf16 by >5%, flip the
+phased bench detail ordering / consider 'auto' for the phased arch.
+Reference semantics: RAM_Net/model/submodules.py:218-411 (PhasedConvLSTM).
+"""
+import os
+import sys
+import json
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from rpg_ramnet_tpu.utils import ensure_platform   # noqa: E402
+ensure_platform()
+
+from bench import bench_phased_fps                  # noqa: E402
+
+out = {}
+for name, kw in (
+        ("f32", dict(dtype="float32")),
+        ("bf16", dict(dtype="bfloat16")),
+        ("bf16_fused", dict(dtype="bfloat16", fused_gru="on"))):
+    out[f"phased_fps_{name}"] = round(bench_phased_fps(**kw), 2)
+    print(json.dumps(out), flush=True)
+
+with open(os.path.join(os.path.dirname(__file__), "phased_fused_bench.json"),
+          "w") as f:
+    json.dump(out, f, indent=1)

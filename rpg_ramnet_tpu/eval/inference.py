@@ -94,16 +94,24 @@ class StreamingInference:
         # is bit-identical outputs, and composed deviates in float
         # summation order (auto stays off here; see statenet)
         comp = getattr(cfg, "composed_decoder", "auto") == "on"
+        # fused Pallas recurrent cells on the streaming path: EXPLICIT
+        # opt-in only (cfg.fused_gru='on'), same contract as composed —
+        # the cells deviate from the single fused [x, h] conv by float
+        # summation order (~1 ulp), breaking the engine's bit-identical
+        # default.  This is the product surface for the fused phased
+        # (irregular-timestamp) encoder cells and the fused convlstm/
+        # convgru state combination.
+        fus = getattr(cfg, "fused_gru", "auto") == "on"
         if batched_decode and dk is None and hasattr(
                 self.model, "forward_package_batched_decode"):
             self._fwd = jax.jit(
                 lambda p, s, pkg: self.model.forward_package_batched_decode(
-                    p, cfg, s, pkg, allow_fused_decoder=True,
+                    p, cfg, s, pkg, allow_fused=fus, allow_fused_decoder=True,
                     allow_composed=comp))
         else:
             self._fwd = jax.jit(
                 lambda p, s, pkg: self.model.forward_package(
-                    p, cfg, s, pkg, decode_keys=dk,
+                    p, cfg, s, pkg, decode_keys=dk, allow_fused=fus,
                     allow_fused_decoder=True, allow_composed=comp))
         self._state = None
 
@@ -194,9 +202,10 @@ class SequenceScanInference:
         elif batched_decode and hasattr(self.model,
                                         "forward_sequence_batched_decode"):
             comp = getattr(cfg, "composed_decoder", "auto") == "on"
+            fus = getattr(cfg, "fused_gru", "auto") == "on"
             self._fwd = jax.jit(
                 lambda p, s, seq: self.model.forward_sequence_batched_decode(
-                    p, cfg, s, seq, allow_fused_decoder=True,
+                    p, cfg, s, seq, allow_fused=fus, allow_fused_decoder=True,
                     allow_composed=comp))
         else:
             self._fwd = jax.jit(
@@ -256,7 +265,9 @@ def run_chunked_streaming(dataset, params, cfg: ModelConfig,
             p, cfg, s, seq, decode_keys=dk))
     elif batched_decode and hasattr(model, "forward_sequence_batched_decode"):
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence_batched_decode(
-            p, cfg, s, seq, decode_keys=dk, allow_fused_decoder=True,
+            p, cfg, s, seq, decode_keys=dk,
+            allow_fused=getattr(cfg, "fused_gru", "auto") == "on",
+            allow_fused_decoder=True,
             allow_composed=getattr(cfg, "composed_decoder", "auto") == "on"))
     else:
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence(
@@ -370,7 +381,9 @@ class BatchedStreamingInference:
                 return jnp.where(m, jnp.zeros_like(leaf), leaf)
             state = jax.tree_util.tree_map(mask_leaf, state)
             return self.model.forward_package(
-                params, cfg, state, pkg, allow_fused_decoder=True,
+                params, cfg, state, pkg,
+                allow_fused=getattr(cfg, "fused_gru", "auto") == "on",
+                allow_fused_decoder=True,
                 allow_composed=getattr(cfg, "composed_decoder",
                                        "auto") == "on")
 
@@ -504,7 +517,9 @@ def run_batched_chunked_streaming(dataset, params, cfg: ModelConfig,
             p, cfg, s, seq, decode_keys=dk))
     elif hasattr(model, "forward_sequence_batched_decode"):
         fwd = jax.jit(lambda p, s, seq: model.forward_sequence_batched_decode(
-            p, cfg, s, seq, decode_keys=dk, allow_fused_decoder=True,
+            p, cfg, s, seq, decode_keys=dk,
+            allow_fused=getattr(cfg, "fused_gru", "auto") == "on",
+            allow_fused_decoder=True,
             allow_composed=getattr(cfg, "composed_decoder", "auto") == "on"))
     else:
         # stateless archs (ERGB2Depth): plain forward_sequence; resets are

@@ -701,25 +701,51 @@ def _unflatten_torch_order(x, h, w, c):
     return jnp.moveaxis(x.reshape(x.shape[0], c, h, w), 1, -1)
 
 
-def phased_conv_lstm_apply(p, x, times, state, padding=1):
+def phased_gate_k(p, t, h, w, c, leak=0.001, ratio_on=0.1):
+    """Time-gate openness k(t) evaluated directly in NHWC layout.
+
+    tau/phase are stored per flattened torch-order feature (f = c*H*W +
+    y*W + x, submodules.py:218-300 — matching reference checkpoints);
+    reshaping THEM to [H, W, C] here means the blend runs in the native
+    TPU layout: the previous flatten/unflatten round trip physically
+    transposed four full feature maps to NCHW and two back per scale per
+    step.  The parameter reshape/transpose is loop-invariant, so XLA
+    hoists it out of scan/fori_loop streaming and TBPTT bodies.  Same
+    scalar ops per element as phased_lstm_gate_apply — values identical."""
+    tau = jnp.moveaxis(p["tau"].reshape(c, h, w), 0, -1)[None]
+    phase = jnp.moveaxis(p["phase"].reshape(c, h, w), 0, -1)[None]
+    t_ = t[:, None, None, None]
+    phi = jnp.abs(jnp.fmod(t_ - phase, tau)) / tau
+    k_up = 2.0 * phi / ratio_on
+    k_down = 2.0 - k_up
+    k = jnp.where(phi < ratio_on, k_down, leak * phi)
+    return jnp.where(phi < 0.5 * ratio_on, k_up, k)
+
+
+def phased_conv_lstm_apply(p, x, times, state, padding=1, fused=False):
     """Reference forward (submodules.py:381-411), including its state-slot
     conventions: state=(c0, h0); the ConvLSTM consumes them in its
     (hidden, cell) slots; returns (h_t, (c_s, h_s)) where the time gate k(t)
-    blends new vs previous flattened states."""
-    b, h, w, c_in = x.shape
+    blends new vs previous states (evaluated in NHWC — phased_gate_k).
+
+    fused=True: x/h split + the fused Pallas LSTM h-side cell
+    (ops.gru_hside.conv_lstm_hside_fused) — differentiable; deviates from
+    the single fused [x, h] conv by float summation order (~1 ulp).
+    Callers gate on shape support (statenet._use_fused_cell)."""
     c0, h0 = state
     # the reference feeds (c0, h0) into the ConvLSTM's (hidden, cell) slots
     # and unpacks its (hidden, cell) return as (c_t, h_t) — kept verbatim
-    c_t, h_t = conv_lstm_apply(p["lstm"], x, (c0, h0), padding)
-    ch = c_t.shape[-1]
-    # gate returns (h_new, c_new) = (k*h_t+(1-k)*h0, k*c_t+(1-k)*c0); the
-    # reference stores exactly this pair as the next (c0, h0) state
-    h_new, c_new = phased_lstm_gate_apply(
-        p["phased_cell"],
-        _flatten_torch_order(c_t), _flatten_torch_order(h_t),
-        _flatten_torch_order(c0), _flatten_torch_order(h0), times)
-    return h_t, (_unflatten_torch_order(h_new, h, w, ch),
-                 _unflatten_torch_order(c_new, h, w, ch))
+    if fused:
+        from ..ops.gru_hside import conv_lstm_hside_fused
+        gx = conv_lstm_x_gates(p["lstm"], x, padding)
+        c_t, h_t = conv_lstm_hside_fused(p["lstm"], gx, (c0, h0))
+    else:
+        c_t, h_t = conv_lstm_apply(p["lstm"], x, (c0, h0), padding)
+    hh, ww, ch = c_t.shape[1], c_t.shape[2], c_t.shape[3]
+    k = phased_gate_k(p["phased_cell"], times, hh, ww, ch)
+    # (h_new, c_new) = (k*h_t+(1-k)*h0, k*c_t+(1-k)*c0); the reference
+    # stores exactly this pair as the next (c0, h0) state
+    return h_t, (k * h_t + (1.0 - k) * h0, k * c_t + (1.0 - k) * c0)
 
 
 def downsample_recurrent_conv_layer_init(key, in_ch, out_ch, kernel_size=3,
@@ -794,12 +820,13 @@ def recurrent_phased_conv_layer_init(key, in_ch, out_ch, height, width,
 
 
 def recurrent_phased_conv_layer_apply(p, x, times, state, stride=1, padding=0,
-                                      norm=None):
+                                      norm=None, fused=False):
     x = conv_layer_apply(p["conv"], x, stride, padding, "relu", norm)
     if state is None:
         z = jnp.zeros_like(x)
         state = (z, z)
-    y, state = phased_conv_lstm_apply(p["recurrent_block"], x, times, state)
+    y, state = phased_conv_lstm_apply(p["recurrent_block"], x, times, state,
+                                      fused=fused)
     return y, state
 
 

@@ -229,8 +229,13 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
             x = jax.ad_checkpoint.checkpoint_name(x, "enc_out")
         elif cfg.use_phased_arch:
             t = times if times is not None else jnp.zeros((x.shape[0],), x.dtype)
+            # fused Pallas LSTM h-side cell inside the phased encoder
+            # (x/h split, differentiable — ~1 ulp summation-order
+            # deviation, so only allow_fused callers get it)
+            fuse = allow_fused and _use_fused_cell(cfg, enc_states[i][0],
+                                                   lstm=True)
             x, enc_st = L.recurrent_phased_conv_layer_apply(
-                encoders[i], x, t, enc_states[i], 2, 2, cfg.norm)
+                encoders[i], x, t, enc_states[i], 2, 2, cfg.norm, fused=fuse)
             new_enc_states.append(enc_st)
         else:  # convlstm encoder
             x, enc_st = L.recurrent2_conv_layer_apply(
@@ -255,8 +260,18 @@ def forward_modality(params, cfg: ModelConfig, x, state: StateNetState,
             if cfg.state_combination == "convlstm":
                 # hidden+cell both come from the shared previous super state
                 # (statenet.py:222-229: lstm_states arg = prev_super_state[i])
-                _, super_state = L.recurrent_conv_layer_apply(
-                    combs[i], x, prev_super, "convlstm")
+                if allow_fused and _use_fused_cell(cfg, prev_super[0],
+                                                   lstm=True):
+                    # x/h split + fused Pallas LSTM h-side (differentiable;
+                    # ~1 ulp summation-order deviation vs the single fused
+                    # [x, h] conv, like the precompute path)
+                    from ..ops.gru_hside import conv_lstm_hside_fused
+                    gx = L.conv_lstm_x_gates(combs[i]["recurrent_block"], x)
+                    super_state = conv_lstm_hside_fused(
+                        combs[i]["recurrent_block"], gx, prev_super)
+                else:
+                    _, super_state = L.recurrent_conv_layer_apply(
+                        combs[i], x, prev_super, "convlstm")
             elif cfg.state_combination == "convgru":
                 # lstm=True: the full cell's K=6C temps need the halved
                 # (256K) VMEM budget — same footprint as the LSTM cell —

@@ -111,6 +111,68 @@ def test_phased_training_step():
     assert leaf.shape[0] > 0
 
 
+def test_phased_gate_nhwc_layout_equals_flattened():
+    """phased_gate_k (NHWC, no per-step transposes) must be bitwise equal
+    to the reference-layout flattened gate (phased_lstm_gate_apply) — same
+    scalar ops, only the layout of the tau/phase broadcast changes."""
+    from rpg_ramnet_tpu.models import layers as L
+    rng = np.random.RandomState(3)
+    B, H, W, C = 2, 4, 6, 3
+    F = C * H * W
+    p = {"tau": jnp.asarray(rng.uniform(0.02, 50, F).astype(np.float32)),
+         "phase": jnp.asarray(rng.uniform(0, 5, F).astype(np.float32))}
+    t = jnp.asarray((rng.rand(B) * 10).astype(np.float32))
+    k_nhwc = L.phased_gate_k(p, t, H, W, C)
+    # flattened oracle: blend 1 vs 0 returns k itself (k*1 + (1-k)*0 = k)
+    ones = jnp.ones((B, F), jnp.float32)
+    zeros = jnp.zeros((B, F), jnp.float32)
+    h_new, _ = L.phased_lstm_gate_apply(p, zeros, ones, zeros, zeros, t)
+    k_flat = np.asarray(h_new).reshape(B, C, H, W).transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(np.asarray(k_nhwc), k_flat)
+
+
+def test_phased_fused_cells_match_unfused():
+    """fused_gru='on' + bf16 on the phased arch: the x/h-split fused Pallas
+    LSTM h-side cells (phased encoders AND convlstm state combination,
+    interpret mode) must match the all-XLA forward at bf16 tolerance."""
+    import dataclasses
+    from rpg_ramnet_tpu.ops import gru_hside
+
+    cfg = phased_config(spatial=(32, 32))
+    m_on = dataclasses.replace(cfg.model, compute_dtype="bfloat16",
+                               fused_gru="on")
+    m_off = dataclasses.replace(m_on, fused_gru="off")
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), m_on)
+    state0 = ERGB2DepthRecurrent.init_state(m_on, 1, 32, 32)
+    K = m_on.every_x_rgb_frame
+    rng = np.random.RandomState(0)
+    pkg = {
+        "events": jnp.asarray(rng.randn(1, K, 32, 32, 5).astype(np.float32)),
+        "image": jnp.asarray(rng.rand(1, 32, 32, 1).astype(np.float32)),
+        "times_events": jnp.asarray(
+            np.cumsum(rng.uniform(0.01, 0.1, (1, K)), 1).astype(np.float32)),
+        "times_image": jnp.asarray(np.float32([0.5])),
+    }
+    gru_hside._INTERPRET = True
+    try:
+        st_f, p_f = ERGB2DepthRecurrent.forward_package(
+            params, m_on, state0, pkg, allow_fused=True)
+        st_f, p_f = jax.tree_util.tree_map(np.asarray, (st_f, p_f))
+    finally:
+        gru_hside._INTERPRET = False
+    st_p, p_p = ERGB2DepthRecurrent.forward_package(
+        params, m_off, state0, pkg, allow_fused=True)
+    for k in p_p:
+        d = np.max(np.abs(np.asarray(p_f[k], np.float32)
+                          - np.asarray(p_p[k], np.float32)))
+        assert d < 0.05, (k, d)   # bf16 tolerance (f32-accum kernel gates)
+    for a, b in zip(jax.tree_util.tree_leaves(st_f),
+                    jax.tree_util.tree_leaves(st_p)):
+        d = np.max(np.abs(np.asarray(a, np.float32)
+                          - np.asarray(b, np.float32)))
+        assert d < 0.05, d
+
+
 def test_phased_deferred_decode_training_equivalence():
     """trainer.deferred_decode under the phased arch: times feed only the
     PhasedLSTM gates inside the scan, so the deferred batched decode must
