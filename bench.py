@@ -429,6 +429,55 @@ def check_fused_parity(H=256, W=512, L=2, tol=0.05, include_optin=True):
     return worst
 
 
+def check_phased_fused_parity(H=256, W=352, tol=0.05):
+    """HARDWARE guard for the phased (irregular-timestamp) fused path: one
+    package through fused_gru='on' bf16 (single-launch phased cells in the
+    encoders, ops/phased_cell.py + the fused LSTM h-side in the convlstm
+    state combination) vs the all-XLA bf16 forward on the same
+    params/inputs.  Run by the _phased_fused detail item before timing —
+    the kernels are opt-in, so interpret-mode CI is their only other
+    guard.  Tolerance as check_fused_parity (f32 gate accumulation vs
+    bf16-native XLA over K+1 gated steps)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.core.config import ModelConfig
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent as M
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
+        "recurrent_block_type": "convlstm", "state_combination": "convlstm",
+        "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
+        "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
+        "baseline": False, "compute_dtype": "bfloat16", "fused_gru": "on",
+        "use_phased_arch": True, "spatial_resolution": [H, W]})
+    off = dataclasses.replace(mcfg, fused_gru="off")
+    params = M.init_params(jax.random.PRNGKey(0), mcfg)
+    st0 = M.init_state(mcfg, 1, H, W)
+    K = mcfg.every_x_rgb_frame
+    rng = np.random.RandomState(0)
+    pkg = {"events": jnp.asarray(
+               rng.randn(1, K, H, W, 5).astype(np.float32)),
+           "image": jnp.asarray(rng.rand(1, H, W, 1).astype(np.float32)),
+           "times_events": jnp.asarray(np.cumsum(
+               rng.uniform(0.01, 0.1, (1, K)), 1).astype(np.float32)),
+           "times_image": jnp.asarray(np.float32([0.5]))}
+    _, p_on = jax.jit(lambda: M.forward_package(
+        params, mcfg, st0, pkg, allow_fused=True))()
+    _, p_off = jax.jit(lambda: M.forward_package(
+        params, off, st0, pkg, allow_fused=True))()
+    worst = 0.0
+    for k in p_off:
+        d = float(jnp.max(jnp.abs(p_on[k].astype(jnp.float32)
+                                  - p_off[k].astype(jnp.float32))))
+        worst = max(worst, d)
+        if d > tol:
+            raise AssertionError(
+                f"phased fused parity FAILED on hardware: max diff {d} > "
+                f"{tol} ({k})")
+    return worst
+
+
 def bench_torch_reference_fps(H=256, W=512, iters=3):
     """Reference PyTorch model on this host's CPU, same shapes/semantics."""
     import torch
@@ -518,6 +567,71 @@ def bench_phased_fps(H=256, W=352, n_lo=2, n_hi=10, dtype="float32",
     sec = _per_iter_seconds(run_n, (params, state0, pkg, n_lo),
                             (params, state0, pkg, n_hi), n_lo, n_hi)
     return (K + 1) / sec
+
+
+def bench_phased_chunked_fps(H=256, W=352, L=8, n_lo=1, n_hi=3,
+                             dtype="float32", fused_gru="off"):
+    """Offline chunked throughput for the irregular-timestamp regime
+    (BASELINE config 3 / MVSEC recorded data): scan encoders + phased
+    cells over L packages, decode all L*(K+1) snapshots in ONE batch
+    (model.forward_sequence_batched_decode — times feed only the
+    PhasedLSTM gates inside the scan, so deferring decodes is exact; the
+    x-side can NOT be hoisted like the EventScape flagship because the
+    phased encoder chain is state-dependent, scale i+1 consumes scale i's
+    LSTM output).  The phased analog of the headline's chunked mode —
+    recorded MVSEC evaluation is offline, so throughput is the number that
+    matters for BASELINE config 3."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from rpg_ramnet_tpu.core.config import ModelConfig
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
+        "recurrent_block_type": "convlstm", "state_combination": "convlstm",
+        "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
+        "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
+        "baseline": False, "compute_dtype": dtype, "fused_gru": fused_gru,
+        "use_phased_arch": True, "spatial_resolution": [H, W]})
+    allow_fused = fused_gru == "on"
+    K = mcfg.every_x_rgb_frame
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    state0 = ERGB2DepthRecurrent.init_state(mcfg, 1, H, W)
+    rng = np.random.RandomState(0)
+    # monotone irregular times across the whole chunk ([L, B, K] / [L, B])
+    t_all = np.cumsum(rng.uniform(0.001, 0.01, (L, 1, K + 1)),
+                      axis=None).reshape(L, 1, K + 1).astype(np.float32)
+    seq = {"events_tcf": jnp.asarray(
+               rng.randn(L, 1, K, 5, H, W).astype(np.float32)),
+           "image_tcf": jnp.asarray(
+               rng.rand(L, 1, 1, H, W).astype(np.float32)),
+           "times_events_t": jnp.asarray(t_all[:, :, :K]),
+           "times_image_t": jnp.asarray(t_all[:, :, K])}
+    t_span = float(t_all[-1, 0, K]) + 0.01
+
+    @jax.jit
+    def run_n(params, state, seq, n):
+        def body(i, carry):
+            st, acc = carry
+            # keep times monotone across chunk repetitions (MVSEC regime)
+            dt = (i + 1).astype(jnp.float32) * t_span
+            seq_i = dict(seq)
+            seq_i["times_events_t"] = seq["times_events_t"] + dt
+            seq_i["times_image_t"] = seq["times_image_t"] + dt
+            st, preds = ERGB2DepthRecurrent.forward_sequence_batched_decode(
+                params, mcfg, st, seq_i, allow_fused=allow_fused,
+                allow_fused_decoder=True)
+            acc = acc + sum(jnp.sum(p.astype(jnp.float32))
+                            for p in preds.values())
+            return (st, acc)
+        st, acc = lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+        return acc + sum(jnp.sum(jnp.abs(s).astype(jnp.float32))
+                         for s in jax.tree_util.tree_leaves(st))
+
+    sec = _per_iter_seconds(run_n, (params, state0, seq, n_lo),
+                            (params, state0, seq, n_hi), n_lo, n_hi)
+    return L * (K + 1) / sec
 
 
 def bench_voxelizer(n_events=1_000_000, num_bins=5, H=260, W=346,
@@ -795,13 +909,27 @@ def main():
         details["jax_fps_phased_single_stream_256x352"] = bench_phased_fps()
 
     def _phased_fused():
-        # round-4 phased fused path: bf16 + x/h-split Pallas LSTM h-side
-        # cells (phased encoders + convlstm state combination) + NHWC time
-        # gate; A/B against the plain bf16 point
+        # round-4 phased fused path: bf16 + the single-launch phased cell
+        # (4-gate h-side + time-gate blend in VMEM, ops/phased_cell.py) in
+        # the phased encoders + the x/h-split LSTM h-side cell in the
+        # convlstm state combination; A/B against the plain bf16 point.
+        # Parity first: the phased kernel is opt-in so interpret-mode CI is
+        # its only other guard — validate the Mosaic build on hardware
+        # before timing it.
+        details["phased_fused_parity_maxdiff"] = check_phased_fused_parity()
         details["jax_fps_phased_single_stream_256x352_bf16"] = \
             bench_phased_fps(dtype="bfloat16")
         details["jax_fps_phased_single_stream_256x352_bf16_fused"] = \
             bench_phased_fps(dtype="bfloat16", fused_gru="on")
+
+    def _phased_chunked():
+        # offline chunked throughput (deferred batched decode) for the
+        # irregular-timestamp regime — the recorded-MVSEC evaluation mode;
+        # A/B the fused phased cells on top
+        details["jax_fps_phased_chunked_256x352_bf16"] = \
+            bench_phased_chunked_fps(dtype="bfloat16")
+        details["jax_fps_phased_chunked_256x352_bf16_fused"] = \
+            bench_phased_chunked_fps(dtype="bfloat16", fused_gru="on")
 
     def _lane64():
         # lane-batched record config (round 3): composed decoder unlocks
@@ -888,6 +1016,7 @@ def main():
         ("latency_mode", _latency, 200),
         ("phased_fps", _phased, 220),
         ("phased_fps_bf16_fused", _phased_fused, 380),
+        ("phased_chunked", _phased_chunked, 300),
         ("lane64_composed", _lane64, 200),
         ("train_f32", _train_f32, 220),
         ("train_bf16", _train_bf16, 220),

@@ -6,8 +6,10 @@ program (one package per step, irregular per-iteration times):
                    4 full-map NCHW transposes + 2 back per scale per step;
                    that layout fix is now default-on for ALL legs)
   bf16           — compute dtype only
-  bf16_fused     — + x/h-split Pallas LSTM h-side cells in the phased
-                   encoders AND the convlstm state combination
+  bf16_fused     — + the single-launch phased cell in the encoders (4-gate
+                   h-side + time-gate blend in VMEM, ops/phased_cell.py —
+                   c_t never round-trips HBM) AND the x/h-split LSTM h-side
+                   cell in the convlstm state combination
                    (cfg.fused_gru='on'; statenet._use_fused_cell gates per
                    scale: 128x176x64 / 64x88x128 fused, 32x44x256 falls
                    back on W%8).
@@ -23,14 +25,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rpg_ramnet_tpu.utils import ensure_platform   # noqa: E402
 ensure_platform()
 
-from bench import bench_phased_fps                  # noqa: E402
+from bench import (bench_phased_fps, bench_phased_chunked_fps,  # noqa: E402
+                   check_phased_fused_parity)
 
 out = {}
+out["parity_maxdiff"] = float(check_phased_fused_parity())
+print(json.dumps(out), flush=True)
 for name, kw in (
         ("f32", dict(dtype="float32")),
         ("bf16", dict(dtype="bfloat16")),
         ("bf16_fused", dict(dtype="bfloat16", fused_gru="on"))):
     out[f"phased_fps_{name}"] = round(bench_phased_fps(**kw), 2)
+    print(json.dumps(out), flush=True)
+# offline chunked (deferred batched decode) — the recorded-MVSEC mode
+for name, kw in (
+        ("bf16", dict(dtype="bfloat16")),
+        ("bf16_fused", dict(dtype="bfloat16", fused_gru="on"))):
+    out[f"phased_chunked_{name}"] = round(bench_phased_chunked_fps(**kw), 2)
     print(json.dumps(out), flush=True)
 
 with open(os.path.join(os.path.dirname(__file__), "phased_fused_bench.json"),

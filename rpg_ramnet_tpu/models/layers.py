@@ -736,16 +736,28 @@ def phased_conv_lstm_apply(p, x, times, state, padding=1, fused=False):
     # the reference feeds (c0, h0) into the ConvLSTM's (hidden, cell) slots
     # and unpacks its (hidden, cell) return as (c_t, h_t) — kept verbatim
     if fused:
-        from ..ops.gru_hside import conv_lstm_hside_fused
         gx = conv_lstm_x_gates(p["lstm"], x, padding)
+        if padding == 1:
+            # single-launch cell: h-side gates + time-gate blend in VMEM
+            # (c_t never round-trips through HBM; ops/phased_cell.py)
+            from ..ops.phased_cell import conv_lstm_phased_fused
+            return conv_lstm_phased_fused(p["lstm"], p["phased_cell"], gx,
+                                          (c0, h0), times)
+        from ..ops.gru_hside import conv_lstm_hside_fused
         c_t, h_t = conv_lstm_hside_fused(p["lstm"], gx, (c0, h0))
     else:
         c_t, h_t = conv_lstm_apply(p["lstm"], x, (c0, h0), padding)
     hh, ww, ch = c_t.shape[1], c_t.shape[2], c_t.shape[3]
     k = phased_gate_k(p["phased_cell"], times, hh, ww, ch)
     # (h_new, c_new) = (k*h_t+(1-k)*h0, k*c_t+(1-k)*c0); the reference
-    # stores exactly this pair as the next (c0, h0) state
-    return h_t, (k * h_t + (1.0 - k) * h0, k * c_t + (1.0 - k) * c0)
+    # stores exactly this pair as the next (c0, h0) state.  The blend runs
+    # in f32 (tau/phase params are f32 -> k is f32) and is cast back to the
+    # compute/state dtype: without the cast a bf16 run's state would be
+    # promoted to f32 after the first step, changing the scan/fori carry
+    # structure (no-op for f32 runs).
+    dt = h_t.dtype
+    return h_t, ((k * h_t + (1.0 - k) * h0).astype(dt),
+                 (k * c_t + (1.0 - k) * c0).astype(dt))
 
 
 def downsample_recurrent_conv_layer_init(key, in_ch, out_ch, kernel_size=3,

@@ -303,6 +303,44 @@ def test_fused_lstm_hside_kernel_matches_reference():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_fused_phased_cell_kernel_matches_composition():
+    """Single-launch phased ConvLSTM cell (ops/phased_cell.py, interpret
+    mode) == the XLA composition: conv_lstm_apply_hside on the reference's
+    swapped (c0, h0) slots + the phased_gate_k blend — all three outputs
+    (h_t, h_new, c_new), multi-tile halos + per-batch times."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import layers as L
+    from rpg_ramnet_tpu.ops.phased_cell import conv_lstm_phased_fused
+
+    rng = np.random.RandomState(7)
+    for (B, H, W, C) in ((1, 32, 24, 8), (2, 16, 16, 16)):
+        p = L.conv_lstm_init(jax.random.PRNGKey(1), C, C, 3, jnp.float32)
+        F = C * H * W
+        pc = {"tau": jnp.asarray(
+                  rng.uniform(0.02, 50, F).astype(np.float32)),
+              "phase": jnp.asarray(rng.uniform(0, 5, F).astype(np.float32))}
+        c0 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        h0 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        t = jnp.asarray((rng.rand(B) * 10).astype(np.float32))
+        gx = L.conv_lstm_x_gates(p, x)
+        # oracle: reference slot quirk (c0, h0) -> LSTM (hidden, cell),
+        # unpack (c_t, h_t), then the NHWC time-gate blend
+        c_t, h_t = L.conv_lstm_apply_hside(p, gx, (c0, h0))
+        k = L.phased_gate_k(pc, t, H, W, C)
+        ref_hn = k * h_t + (1.0 - k) * h0
+        ref_cn = k * c_t + (1.0 - k) * c0
+        got_ht, (got_hn, got_cn) = conv_lstm_phased_fused(
+            p, pc, gx, (c0, h0), t, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_ht), np.asarray(h_t),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_hn), np.asarray(ref_hn),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_cn), np.asarray(ref_cn),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_fused_gru_full_cell_matches_reference():
     """Full fused ConvGRU cell (x+h in-kernel, K=6C fold) ==
     layers.conv_gru_apply (interpret mode).  Measured as an in-context
