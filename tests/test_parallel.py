@@ -153,6 +153,50 @@ def test_mesh_batched_streaming_engine_equals_single_device():
                 atol=1e-5, rtol=1e-5, err_msg=f"step {t} key {k}")
 
 
+def test_mesh_batched_streaming_phased_equals_single_device():
+    """Mesh streaming under the IRREGULAR-TIMESTAMP (phased/MVSEC) arch:
+    per-lane continuous times ride the same data-axis sharding as the
+    inputs, so the sharded engine must reproduce the unsharded one exactly
+    (closes the 'mesh streaming proven only for the conv/GRU arch' gap)."""
+    from rpg_ramnet_tpu.core.config import ModelConfig
+    from rpg_ramnet_tpu.eval.inference import BatchedStreamingInference
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5,
+        "recurrent_block_type": "convlstm", "state_combination": "convlstm",
+        "num_encoders": 2, "base_num_channels": 4, "every_x_rgb_frame": 2,
+        "baseline": False, "skip_type": "sum", "norm": "none",
+        "use_phased_arch": True, "spatial_resolution": [32, 32]})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(5), mcfg)
+    N, K, H, W = 8, 2, 32, 32
+    rng = np.random.RandomState(1)
+    t0 = np.zeros((N, 1), np.float32)
+    pkgs = []
+    for _ in range(3):
+        te = (t0 + np.cumsum(rng.uniform(0.01, 0.1, (N, K)),
+                             axis=1)).astype(np.float32)
+        ti = (te[:, -1] + rng.uniform(0.01, 0.1, N)).astype(np.float32)
+        t0 = ti[:, None]
+        pkgs.append({"events": rng.randn(N, K, H, W, 5).astype(np.float32),
+                     "image": rng.rand(N, H, W, 1).astype(np.float32),
+                     "times_events": te, "times_image": ti})
+    resets = [np.ones(N, bool),
+              rng.rand(N) < 0.4,          # mid-stream per-lane resets
+              np.zeros(N, bool)]
+
+    plain = BatchedStreamingInference(params, mcfg, N, H, W)
+    sharded = BatchedStreamingInference(params, mcfg, N, H, W,
+                                        mesh=make_mesh())
+    for t, (pkg, rm) in enumerate(zip(pkgs, resets)):
+        p_ref = plain.step(pkg, rm)
+        p_out = sharded.step(pkg, rm)
+        for k in p_ref:
+            np.testing.assert_allclose(
+                np.asarray(p_out[k]), np.asarray(p_ref[k]),
+                atol=1e-5, rtol=1e-5, err_msg=f"step {t} key {k}")
+
+
 def test_mesh_batched_chunked_streaming_equals_single_device(tmp_path):
     """run_batched_chunked_streaming(mesh=...): the full product path
     (dataset round-robin -> time-leading chunk buffers -> scan with
