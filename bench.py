@@ -249,13 +249,16 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
 def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
                      dtype="float32", remat=True, remat_chunk=1,
                      deferred_decode=False, precompute_x=False,
-                     remat_policy="none"):
+                     remat_policy="none", phased=False):
     """Full TBPTT training-step throughput (the reference recipe: batch 8,
     sequence 10, 224x224 random crops, SI + multi-scale-grad loss) in
     sequences/sec.  Loop-in-jit timing like the fps bench.
     dtype='bfloat16': bf16 activations, f32 params/loss (mixed precision).
     deferred_decode: supervised decodes run ONCE outside the remat'd scan
-    as one L*B*|keys| batch (identical gradients, tests/test_train.py)."""
+    as one L*B*|keys| batch (identical gradients, tests/test_train.py).
+    phased=True: the irregular-timestamp arch (phased conv-LSTM encoders +
+    convlstm state combination, continuous times through the gates) — the
+    BASELINE config-3 / MVSEC fine-tuning regime."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -265,8 +268,18 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
     from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
     from rpg_ramnet_tpu.train.optim import make_optimizer
 
+    model = {"num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
+             "recurrent_block_type": "conv", "state_combination": "convgru",
+             "num_encoders": 3, "base_num_channels": 32,
+             "num_residual_blocks": 2, "use_upsample_conv": True,
+             "norm": "none", "compute_dtype": dtype}
+    if phased:
+        model.update({"recurrent_block_type": "convlstm",
+                      "state_combination": "convlstm",
+                      "use_phased_arch": True,
+                      "spatial_resolution": [H, W]})
     cfg = Config.from_dict({
-        "arch": "ERGB2DepthRecurrent", "use_phased_arch": False,
+        "arch": "ERGB2DepthRecurrent", "use_phased_arch": phased,
         "data_loader": {"train": {"every_x_rgb_frame": 5, "baseline": False,
                                   "clip_distance": 80.0, "reg_factor": 3.70378},
                         "batch_size": B},
@@ -280,11 +293,7 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
                     "deferred_decode": deferred_decode,
                     "precompute_x": precompute_x,
                     "remat_policy": remat_policy},
-        "model": {"num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
-                  "recurrent_block_type": "conv", "state_combination": "convgru",
-                  "num_encoders": 3, "base_num_channels": 32,
-                  "num_residual_blocks": 2, "use_upsample_conv": True,
-                  "norm": "none", "compute_dtype": dtype},
+        "model": model,
     })
     mcfg = cfg.model
     K = mcfg.every_x_rgb_frame
@@ -301,6 +310,12 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
         "depth_events_t": jnp.asarray(rng.rand(L, B, K, H, W).astype(np.float32)),
         "depth_image_t": jnp.asarray(rng.rand(L, B, H, W).astype(np.float32)),
     }
+    if phased:
+        # monotone irregular times over the whole window ([L, B, K] / [L, B])
+        t_all = np.cumsum(rng.uniform(0.001, 0.01, (L, B, K + 1)),
+                          axis=0).astype(np.float32)
+        batch["times_events_t"] = jnp.asarray(t_all[:, :, :K])
+        batch["times_image_t"] = jnp.asarray(t_all[:, :, K])
 
     @jax.jit
     def run_n(params, opt_state, batch, n):
@@ -931,6 +946,15 @@ def main():
         details["jax_fps_phased_chunked_256x352_bf16_fused"] = \
             bench_phased_chunked_fps(dtype="bfloat16", fused_gru="on")
 
+    def _train_phased():
+        # BASELINE config-3 training (the reference fine-tunes on MVSEC):
+        # phased arch TBPTT at the flagship recipe shapes
+        tp = bench_train_step(dtype="bfloat16", deferred_decode=True,
+                              phased=True)
+        details["train_phased_bf16_deferred_seq_per_sec_B8_L10_224"] = \
+            tp["seq_per_sec"]
+        details["train_phased_bf16_deferred_roofline"] = tp
+
     def _lane64():
         # lane-batched record config (round 3): composed decoder unlocks
         # 64 lanes on this rig; explicit opt-in (float summation order)
@@ -1017,6 +1041,7 @@ def main():
         ("phased_fps", _phased, 220),
         ("phased_fps_bf16_fused", _phased_fused, 380),
         ("phased_chunked", _phased_chunked, 300),
+        ("phased_train", _train_phased, 260),
         ("lane64_composed", _lane64, 200),
         ("train_f32", _train_f32, 220),
         ("train_bf16", _train_bf16, 220),
