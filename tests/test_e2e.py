@@ -109,6 +109,41 @@ def test_checkpoint_roundtrip(tmp_path):
         params, p2)
 
 
+def test_phased_params_torch_state_dict_roundtrip():
+    """Phased param trees survive the torch state_dict mapping BITWISE,
+    and the gate parameters land under the reference's lazily-created
+    module names (submodules.py:377-391 instantiates `phased_cell` as a
+    child of `recurrent_block` at first forward, so a TRAINED reference
+    phased checkpoint carries `...recurrent_block.phased_cell.{tau,phase}`
+    — the 1-D leaves must pass through untransposed)."""
+    from rpg_ramnet_tpu.compat.torch_import import (params_to_state_dict,
+                                                    state_dict_to_params)
+    from rpg_ramnet_tpu.core.config import ModelConfig
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5, "skip_type": "sum",
+        "recurrent_block_type": "convlstm", "state_combination": "convlstm",
+        "num_encoders": 2, "base_num_channels": 4, "num_residual_blocks": 1,
+        "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 2,
+        "baseline": False, "use_phased_arch": True,
+        "spatial_resolution": [16, 16]})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
+    sd = params_to_state_dict(params)
+    taus = sorted(k for k in sd if k.endswith(".tau"))
+    assert taus == [
+        "statenetphasedrecurrent.encoders_events.0.recurrent_block.phased_cell.tau",
+        "statenetphasedrecurrent.encoders_events.1.recurrent_block.phased_cell.tau",
+        "statenetphasedrecurrent.encoders_rgb.0.recurrent_block.phased_cell.tau",
+        "statenetphasedrecurrent.encoders_rgb.1.recurrent_block.phased_cell.tau",
+    ]
+    assert sd[taus[0]].ndim == 1          # per-flattened-feature, no transpose
+    p2 = state_dict_to_params(sd)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, p2)
+
+
 def test_pth_tar_export_loads_into_reference(tmp_path):
     """Our exported .pth.tar must strict-load into the reference torch model
     (name/shape compatibility both directions)."""
