@@ -160,3 +160,72 @@ def test_batched_decode_equals_sequential():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 atol=1e-6), st_a, st_b)
+
+
+import pytest
+
+
+@pytest.mark.smoke
+def test_bench_main_headline_first_fallback_and_budget(tmp_path, monkeypatch,
+                                                       capsys):
+    """bench.py main() control flow with stubbed benches (the round-3
+    driver bench timed out having printed NOTHING — these properties are
+    the fix and must not regress):
+      * the one-line headline JSON is printed to the ORIGINAL stdout
+        before any detail item runs;
+      * if the flagship (precompute) leg raises, the fallback chain
+        measures the next leg and the headline still prints;
+      * with an exhausted budget every detail item is skipped (recorded
+        in skipped_for_budget) and BENCH_DETAILS.json is still written."""
+    import importlib
+    import sys as _sys
+    bench = importlib.import_module("bench")
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("BENCH_BUDGET_S", "0")     # deadline already passed
+    monkeypatch.delenv("BENCH_FULL", raising=False)
+    monkeypatch.setattr(bench, "bench_torch_reference_fps", lambda: 2.0)
+
+    calls = []
+
+    def fake_chunked(lanes=1, L=16, dtype="bfloat16", precompute=False,
+                     with_costs=False, **kw):
+        calls.append(("chunked", precompute))
+        if precompute:
+            raise RuntimeError("simulated Mosaic regression")
+        return 123.0
+
+    monkeypatch.setattr(bench, "bench_chunked_fps", fake_chunked)
+    monkeypatch.setattr(bench, "bench_jax_fps",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("third leg must not run")))
+    # any detail-item entry point would violate the budget gate
+    for name in ("check_fused_parity", "bench_voxelizer", "bench_train_step",
+                 "bench_phased_fps", "bench_phased_chunked_fps",
+                 "check_phased_fused_parity"):
+        monkeypatch.setattr(
+            bench, name, lambda *a, _n=name, **k: (_ for _ in ()).throw(
+                AssertionError(f"{_n} ran despite exhausted budget")))
+
+    saved_stdout = _sys.stdout
+    try:
+        bench.main()
+    finally:
+        _sys.stdout = saved_stdout               # main() rebinds stdout
+
+    out_lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.strip()]
+    assert len(out_lines) == 1, out_lines        # exactly ONE stdout line
+    import json as _json
+    line = _json.loads(out_lines[0])
+    assert line["metric"] == "e2e_depth_fps_256x512"
+    assert line["value"] == 123.0                # the fallback leg's number
+    assert line["vs_baseline"] == round(123.0 / 2.0, 3)
+
+    det = _json.loads((tmp_path / "BENCH_DETAILS.json").read_text())
+    assert "jax_fps_single_stream_chunked_bf16_precompute_error" in det
+    assert det["headline_source"] == "jax_fps_single_stream_chunked_bf16"
+    # every scheduled detail item was budget-skipped, none executed
+    assert "fused_parity" in det["skipped_for_budget"]
+    assert len(det["skipped_for_budget"]) >= 10
+    assert calls == [("chunked", True), ("chunked", False)]
