@@ -265,3 +265,44 @@ def test_spatial_mesh_streaming_engine_equals_plain():
             np.testing.assert_allclose(p_out[k], p_ref[k],
                                        atol=1e-5, rtol=1e-5,
                                        err_msg=f"step {t} key {k}")
+
+
+def test_spatial_mesh_streaming_phased_equals_plain():
+    """Spatial (H-sharded) streaming under the phased arch: the NHWC time
+    gate broadcasts [H, W, C] tau/phase maps over the sharded H dim, so
+    GSPMD must partition the gate with the states (elementwise — no halo);
+    the sharded engine must match the plain one across carried state."""
+    from rpg_ramnet_tpu.core.config import MeshConfig, ModelConfig
+    from rpg_ramnet_tpu.eval.inference import StreamingInference
+    from rpg_ramnet_tpu.models import ERGB2DepthRecurrent
+
+    mcfg = ModelConfig.from_dict({
+        "num_bins_rgb": 1, "num_bins_events": 5,
+        "recurrent_block_type": "convlstm", "state_combination": "convlstm",
+        "num_encoders": 2, "base_num_channels": 4, "every_x_rgb_frame": 2,
+        "baseline": False, "skip_type": "sum", "norm": "none",
+        "use_phased_arch": True, "spatial_resolution": [32, 32]})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(2), mcfg)
+    K, H, W = 2, 32, 32
+    rng = np.random.RandomState(4)
+    t0 = 0.0
+    pkgs = []
+    for _ in range(3):
+        te = (t0 + np.cumsum(rng.uniform(0.01, 0.1, K))).astype(np.float32)
+        ti = np.float32(te[-1] + rng.uniform(0.01, 0.1))
+        t0 = float(ti)
+        pkgs.append({"events": rng.randn(K, H, W, 5).astype(np.float32),
+                     "image": rng.rand(H, W, 1).astype(np.float32),
+                     "times_events": te, "times_image": ti})
+
+    plain = StreamingInference(params, mcfg, batched_decode=True)
+    mesh = make_mesh(MeshConfig(data=1, model=8))
+    sharded = StreamingInference(params, mcfg, batched_decode=True,
+                                 spatial_mesh=mesh)
+    for t, pkg in enumerate(pkgs):
+        p_ref = plain.step(pkg)
+        p_out = sharded.step(pkg)
+        for k in p_ref:
+            np.testing.assert_allclose(p_out[k], p_ref[k],
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"step {t} key {k}")
