@@ -249,7 +249,7 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
 def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
                      dtype="float32", remat=True, remat_chunk=1,
                      deferred_decode=False, precompute_x=False,
-                     remat_policy="none", phased=False):
+                     remat_policy="none", phased=False, fused_gru="auto"):
     """Full TBPTT training-step throughput (the reference recipe: batch 8,
     sequence 10, 224x224 random crops, SI + multi-scale-grad loss) in
     sequences/sec.  Loop-in-jit timing like the fps bench.
@@ -272,7 +272,7 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
              "recurrent_block_type": "conv", "state_combination": "convgru",
              "num_encoders": 3, "base_num_channels": 32,
              "num_residual_blocks": 2, "use_upsample_conv": True,
-             "norm": "none", "compute_dtype": dtype}
+             "norm": "none", "compute_dtype": dtype, "fused_gru": fused_gru}
     if phased:
         model.update({"recurrent_block_type": "convlstm",
                       "state_combination": "convlstm",
@@ -1039,7 +1039,7 @@ def main():
         ("chunked_f32", _chunked_f32, 180),
         ("latency_mode", _latency, 200),
         ("phased_fps", _phased, 220),
-        ("phased_fps_bf16_fused", _phased_fused, 380),
+        ("phased_fps_bf16_fused", _phased_fused, 600),
         ("phased_chunked", _phased_chunked, 300),
         ("phased_train", _train_phased, 260),
         ("lane64_composed", _lane64, 200),

@@ -44,6 +44,22 @@ for name, kw in (
     out[f"phased_chunked_{name}"] = round(bench_phased_chunked_fps(**kw), 2)
     print(json.dumps(out), flush=True)
 
+# phased TRAINING (MVSEC fine-tune recipe shapes): the phased cell's
+# custom VJP lets fused_gru='on' run it on the TBPTT critical path —
+# grads identical (tests/test_train.py::test_phased_fused_training_
+# grads_match); decision variable seq/s
+from bench import bench_train_step                   # noqa: E402
+for name, kw in (
+        ("bf16", dict()),
+        ("bf16_fused", dict(fused_gru="on"))):
+    try:
+        r = bench_train_step(dtype="bfloat16", deferred_decode=True,
+                             phased=True, **kw)
+        out[f"phased_train_{name}_seq_per_sec"] = round(r["seq_per_sec"], 2)
+    except Exception as e:       # record instead of losing earlier legs
+        out[f"phased_train_{name}_error"] = str(e)[:300]
+    print(json.dumps(out), flush=True)
+
 with open(os.path.join(os.path.dirname(__file__), "phased_fused_bench.json"),
           "w") as f:
     json.dump(out, f, indent=1)

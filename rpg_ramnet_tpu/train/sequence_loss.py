@@ -181,7 +181,12 @@ def make_sequence_loss(cfg: Config, remat: bool = False,
             # allow_fused with pre_x: the Pallas fused h-side cells have a
             # custom VJP (round 3), so the sequential critical path of the
             # TRAINING scan may run them; cfg.model.fused_gru policy +
-            # shape support still gate per scale (statenet._use_fused_cell)
+            # shape support still gate per scale (statenet._use_fused_cell).
+            # fused_gru='on' (explicit) also allows them WITHOUT
+            # precompute — the round-4 phased cell (ops/phased_cell.py,
+            # custom VJP incl. tau/phase/times grads) runs in the phased
+            # encoders + state combination, enabling fused MVSEC
+            # fine-tuning; grads-parity: tests/test_train.py
             # allow_composed: the composed transposed-conv decoder layers
             # (differentiable, pure XLA) on the L*B*|keys|-deep deferred
             # decode batch — auto-gated to bf16 + batch>=24 on TPU
@@ -191,7 +196,8 @@ def make_sequence_loss(cfg: Config, remat: bool = False,
             _, preds = model.forward_sequence_batched_decode(
                 params, mcfg, state0, seq_in, decode_keys=keys, remat=remat,
                 squeeze_preds=True, package_precompute=pre_x,
-                allow_fused=pre_x, allow_composed=True,
+                allow_fused=pre_x or cfg.model.fused_gru == "on",
+                allow_composed=True,
                 remat_policy=getattr(cfg.trainer, "remat_policy", "none"))
         else:
             _, preds = model.forward_sequence(

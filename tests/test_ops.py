@@ -341,6 +341,50 @@ def test_fused_phased_cell_kernel_matches_composition():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_fused_phased_cell_grads_match_unfused():
+    """jax.grad through the single-launch phased cell (custom VJP,
+    interpret mode) == grad through the all-XLA phased layer, for ALL
+    differentiable inputs: LSTM weights, x, previous (c0, h0), the
+    trained tau/phase gate parameters, and times."""
+    import jax
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.models import layers as L
+
+    rng = np.random.RandomState(11)
+    B, H, W, C = 2, 16, 16, 8
+    F = C * H * W
+    p = {"lstm": L.conv_lstm_init(jax.random.PRNGKey(3), C, C, 3,
+                                  jnp.float32),
+         "phased_cell": {
+             "tau": jnp.asarray(rng.uniform(0.5, 50, F).astype(np.float32)),
+             "phase": jnp.asarray(rng.uniform(0, 5, F).astype(np.float32))}}
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    c0 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    h0 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    t = jnp.asarray((rng.rand(B) * 10 + 0.3).astype(np.float32))
+    cot = [jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+           for _ in range(3)]
+
+    def loss(p_, x_, c0_, h0_, t_, fused):
+        y, (hn, cn) = L.phased_conv_lstm_apply(p_, x_, t_, (c0_, h0_),
+                                               fused=fused)
+        return (jnp.sum(y * cot[0]) + jnp.sum(hn * cot[1])
+                + jnp.sum(cn * cot[2]))
+
+    from rpg_ramnet_tpu.ops import gru_hside
+    gru_hside._INTERPRET = True
+    try:
+        g_fused = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            p, x, c0, h0, t, True)
+    finally:
+        gru_hside._INTERPRET = False
+    g_ref = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(p, x, c0, h0, t, False)
+    for got, ref in zip(jax.tree_util.tree_leaves(g_fused),
+                        jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+
 def test_fused_gru_full_cell_matches_reference():
     """Full fused ConvGRU cell (x+h in-kernel, K=6C fold) ==
     layers.conv_gru_apply (interpret mode).  Measured as an in-context

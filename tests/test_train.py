@@ -567,6 +567,71 @@ def test_precompute_x_fused_bwd_kernel_training_grads_match(monkeypatch):
 
 
 
+def test_phased_fused_training_grads_match(monkeypatch):
+    """fused_gru='on' + deferred decode on the PHASED arch: the
+    single-launch phased cell (ops/phased_cell.py, custom VJP incl.
+    tau/phase/times grads) on the TBPTT scan's critical path must
+    reproduce the unfused loss and ALL gradients (interpret mode)."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+    from rpg_ramnet_tpu.core.config import Config
+    from rpg_ramnet_tpu.ops import gru_hside
+
+    real_pick = gru_hside._pick_tile_h
+
+    def fake_supports(prev_state, lstm=False):
+        if prev_state.ndim != 4:
+            return False
+        _, H, W, C = prev_state.shape
+        budget = 256 * 1024 if lstm else 512 * 1024
+        return (real_pick(H, W, C, 4, budget=budget) > 0
+                and W % 8 == 0 and C % 8 == 0)
+
+    monkeypatch.setattr(gru_hside, "supports", fake_supports)
+    monkeypatch.setattr(gru_hside, "_INTERPRET", True)
+
+    raw = tiny_config(recurrent_block_type="convlstm",
+                      state_combination="convlstm",
+                      spatial_resolution=[16, 16]).raw
+    raw = {**raw, "use_phased_arch": True,
+           "trainer": {**raw["trainer"], "deferred_decode": True},
+           "model": {**raw["model"], "use_phased_arch": True,
+                     "spatial_resolution": [16, 16]}}
+    cfg_unfused = Config.from_dict({**raw, "model": {**raw["model"],
+                                                     "fused_gru": "off"}})
+    cfg_fused = Config.from_dict({**raw, "model": {**raw["model"],
+                                                   "fused_gru": "on"}})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0),
+                                             cfg_fused.model)
+    rng = np.random.RandomState(0)
+    B, L, K, H, W = 2, 2, 3, 16, 16
+    batch = {"events": jnp.asarray(
+                 rng.randn(B, L, K, H, W, 5).astype(np.float32)),
+             "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+             "depth_events": jnp.asarray(
+                 rng.rand(B, L, K, H, W, 1).astype(np.float32)),
+             "depth_image": jnp.asarray(
+                 rng.rand(B, L, H, W, 1).astype(np.float32)),
+             "times_events": jnp.asarray(np.cumsum(
+                 rng.uniform(0.01, 0.2, (B, L, K)), 1).astype(np.float32))}
+    batch["times_image"] = batch["times_events"][:, :, -1] + 0.005
+    state0 = ERGB2DepthRecurrent.init_state(cfg_fused.model, B, H, W)
+    loss_fn_ref = make_sequence_loss(cfg_unfused, remat=True)
+    (l_ref, _), g_ref = jax.value_and_grad(loss_fn_ref, has_aux=True)(
+        params, state0, batch)
+    loss_fn = make_sequence_loss(cfg_fused, remat=True)
+    (l_f, _), g_f = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, state0, batch)
+    assert abs(float(l_ref) - float(l_f)) < 1e-5
+    # tau/phase gate params must carry matching (non-trivial) grads
+    tau_g = g_f["encoders_rgb"][0]["recurrent_block"]["phased_cell"]["tau"]
+    assert float(jnp.max(jnp.abs(tau_g))) > 0
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=5e-5, rtol=1e-3),
+        g_ref, g_f)
+
+
 def test_frame_reconstruction_trainer():
     """TPU-native equivalent of the reference's legacy E2VID Trainer
     (trainer/trainer.py:8-189): events->frame reconstruction with contrast
