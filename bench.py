@@ -585,7 +585,7 @@ def bench_phased_fps(H=256, W=352, n_lo=2, n_hi=10, dtype="float32",
 
 
 def bench_phased_chunked_fps(H=256, W=352, L=8, n_lo=1, n_hi=3,
-                             dtype="float32", fused_gru="off"):
+                             dtype="float32", fused_gru="off", lanes=1):
     """Offline chunked throughput for the irregular-timestamp regime
     (BASELINE config 3 / MVSEC recorded data): scan encoders + phased
     cells over L packages, decode all L*(K+1) snapshots in ONE batch
@@ -612,15 +612,18 @@ def bench_phased_chunked_fps(H=256, W=352, L=8, n_lo=1, n_hi=3,
     allow_fused = fused_gru == "on"
     K = mcfg.every_x_rgb_frame
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
-    state0 = ERGB2DepthRecurrent.init_state(mcfg, 1, H, W)
+    state0 = ERGB2DepthRecurrent.init_state(mcfg, lanes, H, W)
     rng = np.random.RandomState(0)
-    # monotone irregular times across the whole chunk ([L, B, K] / [L, B])
+    # monotone irregular times across the whole chunk ([L, B, K] / [L, B];
+    # every lane shares the schedule — lane-batched MVSEC eval streams
+    # different sequences at the same package cadence)
     t_all = np.cumsum(rng.uniform(0.001, 0.01, (L, 1, K + 1)),
                       axis=None).reshape(L, 1, K + 1).astype(np.float32)
+    t_all = np.repeat(t_all, lanes, axis=1)
     seq = {"events_tcf": jnp.asarray(
-               rng.randn(L, 1, K, 5, H, W).astype(np.float32)),
+               rng.randn(L, lanes, K, 5, H, W).astype(np.float32)),
            "image_tcf": jnp.asarray(
-               rng.rand(L, 1, 1, H, W).astype(np.float32)),
+               rng.rand(L, lanes, 1, H, W).astype(np.float32)),
            "times_events_t": jnp.asarray(t_all[:, :, :K]),
            "times_image_t": jnp.asarray(t_all[:, :, K])}
     t_span = float(t_all[-1, 0, K]) + 0.01
@@ -646,7 +649,7 @@ def bench_phased_chunked_fps(H=256, W=352, L=8, n_lo=1, n_hi=3,
 
     sec = _per_iter_seconds(run_n, (params, state0, seq, n_lo),
                             (params, state0, seq, n_hi), n_lo, n_hi)
-    return L * (K + 1) / sec
+    return lanes * L * (K + 1) / sec
 
 
 def bench_voxelizer(n_events=1_000_000, num_bins=5, H=260, W=346,
