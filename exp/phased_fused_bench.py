@@ -29,7 +29,10 @@ from bench import (bench_phased_fps, bench_phased_chunked_fps,  # noqa: E402
                    check_phased_fused_parity)
 
 out = {}
-out["parity_maxdiff"] = float(check_phased_fused_parity())
+try:
+    out["parity_maxdiff"] = float(check_phased_fused_parity())
+except Exception as e:    # a Mosaic failure must not kill the XLA legs
+    out["parity_error"] = str(e)[:300]
 print(json.dumps(out), flush=True)
 for name, kw in (
         ("f32", dict(dtype="float32")),
