@@ -38,13 +38,20 @@ for name, kw in (
         ("f32", dict(dtype="float32")),
         ("bf16", dict(dtype="bfloat16")),
         ("bf16_fused", dict(dtype="bfloat16", fused_gru="on"))):
-    out[f"phased_fps_{name}"] = round(bench_phased_fps(**kw), 2)
+    try:
+        out[f"phased_fps_{name}"] = round(bench_phased_fps(**kw), 2)
+    except Exception as e:
+        out[f"phased_fps_{name}_error"] = str(e)[:300]
     print(json.dumps(out), flush=True)
 # offline chunked (deferred batched decode) — the recorded-MVSEC mode
 for name, kw in (
         ("bf16", dict(dtype="bfloat16")),
         ("bf16_fused", dict(dtype="bfloat16", fused_gru="on"))):
-    out[f"phased_chunked_{name}"] = round(bench_phased_chunked_fps(**kw), 2)
+    try:
+        out[f"phased_chunked_{name}"] = round(
+            bench_phased_chunked_fps(**kw), 2)
+    except Exception as e:
+        out[f"phased_chunked_{name}_error"] = str(e)[:300]
     print(json.dumps(out), flush=True)
 
 # phased TRAINING (MVSEC fine-tune recipe shapes): the phased cell's
