@@ -77,11 +77,18 @@ def microbench():
     return res
 
 
-out["microbench"] = microbench()
+try:
+    out["microbench"] = microbench()
+except Exception as e:    # a pair-kernel Mosaic failure must not kill e2e
+    out["microbench_error"] = str(e)[:300]
+print(json.dumps(out), flush=True)
 for pair in ("auto", "on"):
-    fps = bench_chunked_fps(lanes=1, L=16, dtype="bfloat16", precompute=True,
-                            fused_pair=pair)
-    out[f"e2e_fused_pair_{pair}"] = round(fps, 1)
+    try:
+        fps = bench_chunked_fps(lanes=1, L=16, dtype="bfloat16",
+                                precompute=True, fused_pair=pair)
+        out[f"e2e_fused_pair_{pair}"] = round(fps, 1)
+    except Exception as e:
+        out[f"e2e_fused_pair_{pair}_error"] = str(e)[:300]
     print(json.dumps(out), flush=True)
 
 with open(os.path.join(os.path.dirname(__file__), "gru_pair_bench.json"),
