@@ -57,7 +57,7 @@ def microbench():
     for mode in ("separate", "pair"):
         @jax.jit
         def run_n(hs0, hs1, hs2, n, _mode=mode):
-            def body(carry, _):
+            def body(_, carry):
                 h0, h1, h2 = carry
                 if _mode == "pair":
                     h0, h1 = gru_pair.conv_gru_hside_pair(
@@ -66,8 +66,11 @@ def microbench():
                     h0 = conv_gru_hside_fused(ps[0], gxs[0], h0)
                     h1 = conv_gru_hside_fused(ps[1], gxs[1], h1)
                 h2 = conv_gru_hside_fused(ps[2], gxs[2], h2)
-                return (h0, h1, h2), None
-            (h0, h1, h2), _ = lax.scan(body, (hs0, hs1, hs2), None, length=n)
+                return (h0, h1, h2)
+            # n is traced (dynamic trip count — the two-trip-count timing
+            # recipe, PERF.md); scan(length=) needs a static int, so
+            # fori_loop.
+            h0, h1, h2 = lax.fori_loop(0, n, body, (hs0, hs1, hs2))
             return (jnp.sum(jnp.abs(h0).astype(jnp.float32))
                     + jnp.sum(jnp.abs(h1).astype(jnp.float32))
                     + jnp.sum(jnp.abs(h2).astype(jnp.float32)))
