@@ -361,7 +361,8 @@ def bench_train_step(B=8, L=10, H=224, W=224, n_lo=1, n_hi=4,
     return out
 
 
-def check_fused_parity(H=256, W=512, L=2, tol=0.05, include_optin=True):
+def check_fused_parity(H=256, W=512, L=2, tol=0.05, include_optin=True,
+                       optin_errors=None):
     """HARDWARE guard for the non-default numerics (run every bench): the
     shipped bf16 flagship path (fused GRU cells + fused decoder + composed
     transposed-conv upsample layers, all forced on) must agree with the
@@ -420,19 +421,32 @@ def check_fused_parity(H=256, W=512, L=2, tol=0.05, include_optin=True):
         pair = dataclasses.replace(mcfg, fused_decoder="off",
                                    composed_decoder="off", fused_pair="on")
         legs += [
-            ("whole-chunk resident-state kernel", lambda: jax.jit(
+            ("OPT-IN whole-chunk resident-state kernel", lambda: jax.jit(
                  lambda: M.forward_sequence_precomputed(
                      params, comp, st0, seq, chunk_cells=True))()[1]),
-            ("cross-scale merged pair launch", lambda: jax.jit(
+            ("OPT-IN cross-scale merged pair launch", lambda: jax.jit(
                  lambda: M.forward_sequence_precomputed(
                      params, pair, st0, seq))()[1]),
-            ("gx-streaming cells", lambda: jax.jit(
+            ("OPT-IN gx-streaming cells", lambda: jax.jit(
                  lambda: M.forward_sequence_precomputed(
                      params, comp, st0, seq, stream_cells=True))()[1]),
         ]
     worst = 0.0
     for name, run_leg in legs:
-        p_alt = run_leg()
+        try:
+            p_alt = run_leg()
+        except Exception as e:
+            # an opt-in kernel failing to COMPILE/RUN is a rig/Mosaic
+            # availability problem, not a numerics failure of the shipped
+            # path (observed 2026-08-18: the tunnel's chipless AOT helper
+            # dies on the scalar-prefetched pair/stream programs, PERF.md)
+            # — record it and keep guarding; never trigger the corrected-
+            # headline path for it.  Default-on legs still raise.
+            if name.startswith("OPT-IN"):
+                if optin_errors is not None:
+                    optin_errors[name] = str(e)[:300]
+                continue
+            raise
         for k in p_plain:
             d = float(jnp.max(jnp.abs(p_alt[k].astype(jnp.float32)
                                       - p_plain[k].astype(jnp.float32))))
@@ -875,9 +889,14 @@ def main():
         # numerics number must not stand as the record.
         try:
             # budget-bound driver runs guard the default-on kernels only
-            # (2 compiles); BENCH_FULL sweeps cover the opt-in kernels too
+            # (2 compiles); BENCH_FULL sweeps cover the opt-in kernels too.
+            # Opt-in legs that fail to compile (rig AOT-helper limitation,
+            # PERF.md round-4) are recorded, not fatal.
+            optin_errors = {}
             details["fused_parity_max_diff"] = check_fused_parity(
-                include_optin=full)
+                include_optin=full, optin_errors=optin_errors)
+            if optin_errors:
+                details["fused_parity_optin_leg_errors"] = optin_errors
         except Exception:
             details["fused_parity_FAILED"] = True
             save()
