@@ -35,7 +35,17 @@ def ensure_platform(default: str | None = None,
         try:
             if jax.default_backend() != "cpu":
                 jax.config.update("jax_compilation_cache_dir", cache_dir)
-                jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+                # measured on this rig (round 5): with the default entry-size
+                # gate NOTHING was ever written through the tunneled backend
+                # (empty cache dir after full bench runs, minutes-long
+                # recompiles every round); min_entry_size_bytes=-1 disables
+                # the size check and cache writes + hits were then verified
+                # with JAX_DEBUG_LOG_MODULES=jax._src.compiler.  Keep the
+                # compile-time gate at 0 — caching trivial programs is
+                # harmless and the tunnel's compile latency is high-variance
+                # (2.7 s to 127 s observed for the SAME tiny program).
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+                jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         except Exception:
             pass
     return jax.default_backend()
