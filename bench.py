@@ -27,6 +27,18 @@ explicit wall-clock budget (BENCH_BUDGET_S, default 1140 s from process
 start — the driver kills at ~1500 s), writing BENCH_DETAILS.json
 incrementally after every item so a kill loses nothing.  BENCH_FULL=1
 ignores the budget and runs everything (use for validated full sweeps).
+
+Round-5 budget fixes (r04: the parity guard alone consumed 921 s and every
+detail item was skipped): the guard's default legs compile as ONE merged
+program and it runs AFTER the voxelizer/train/phased/lane items; the
+torch-CPU baseline is cached to exp/torch_baseline_cache.json between
+budget-bound runs (BENCH_FULL re-measures); the persistent XLA compile
+cache actually persists now (utils/platform.py), so a warmed rig cache-hits
+through the entire schedule.  The headline is measured as the median of
+k=3 interleaved (lo, hi) trip-count pairs with the spread recorded
+(fps_pairs/fps_spread_pct in the roofline dict) — this rig shows ±6%
+run-to-run variance for identical programs, so single-point A/B deltas
+under ~10% are inconclusive by policy (PERF.md).
 """
 import json
 import os
@@ -48,6 +60,22 @@ def _per_iter_seconds(run_n, args_lo, args_hi, n_lo, n_hi, repeats=3):
     lo = min(_timed_scalar(run_n, *args_lo)[0] for _ in range(repeats))
     hi = min(_timed_scalar(run_n, *args_hi)[0] for _ in range(repeats))
     return (hi - lo) / (n_hi - n_lo)
+
+
+def _per_iter_seconds_spread(run_n, args_lo, args_hi, n_lo, n_hi, pairs=3):
+    """Interleaved lo/hi trip-count pairs -> per-pair per-iteration estimates.
+
+    This rig shows ±6% run-to-run variance for the IDENTICAL program minutes
+    apart (PERF.md round-4), so headline / default-flip numbers must carry a
+    spread: k>=3 (lo, hi) pairs measured back-to-back in one process, each
+    pair yielding its own estimate.  Returns (median_sec, [sec...])."""
+    _timed_scalar(run_n, *args_lo)  # warm (compile + first dispatch)
+    ests = []
+    for _ in range(pairs):
+        lo = _timed_scalar(run_n, *args_lo)[0]
+        hi = _timed_scalar(run_n, *args_hi)[0]
+        ests.append((hi - lo) / (n_hi - n_lo))
+    return float(np.median(ests)), ests
 
 
 def bench_jax_fps(H=256, W=512, lanes=1, n_lo=2, n_hi=12, dtype="float32",
@@ -147,7 +175,7 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
                       dtype="float32", with_costs=False, precompute=False,
                       fused_gru="auto", fused_decoder="auto",
                       composed_decoder="auto", scan_unroll=1,
-                      fused_pair="auto", fused_stream="auto"):
+                      fused_pair="auto", fused_stream="auto", spread=0):
     """Offline chunked streaming (test.py --scan_chunk semantics): scan the
     sequential encoder+GRU work over L packages, decode ALL L*(K+1)
     snapshots in ONE batch (model.forward_sequence_batched_decode; outputs
@@ -218,9 +246,18 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
         return acc + sum(jnp.sum(jnp.abs(s).astype(jnp.float32))
                          for s in jax.tree_util.tree_leaves(st))
 
-    sec_per_chunk = _per_iter_seconds(run_n,
-                                      (params, state0, seq, n_lo),
-                                      (params, state0, seq, n_hi), n_lo, n_hi)
+    pair_secs = None
+    if spread:
+        # headline mode: interleaved (lo, hi) pairs -> median + spread
+        # (the rig's ±6% run-to-run variance must be visible in the record)
+        sec_per_chunk, pair_secs = _per_iter_seconds_spread(
+            run_n, (params, state0, seq, n_lo),
+            (params, state0, seq, n_hi), n_lo, n_hi, pairs=spread)
+    else:
+        sec_per_chunk = _per_iter_seconds(run_n,
+                                          (params, state0, seq, n_lo),
+                                          (params, state0, seq, n_hi),
+                                          n_lo, n_hi)
     fps = lanes * L * (K + 1) / sec_per_chunk
     if not with_costs:
         return fps
@@ -231,8 +268,19 @@ def bench_chunked_fps(H=256, W=512, lanes=1, L=16, n_lo=1, n_hi=4,
     act_bytes = 2 if dtype == "bfloat16" else 4
     ana = C.package_costs(mcfg, H, W, batch=lanes, act_bytes=act_bytes)
     sec = sec_per_chunk / L  # per package
+    spread_fields = {}
+    if pair_secs:
+        fps_all = [lanes * L * (K + 1) / s for s in pair_secs]
+        spread_fields = {
+            "fps_pairs": [round(f, 1) for f in fps_all],
+            "fps_min": round(min(fps_all), 1),
+            "fps_max": round(max(fps_all), 1),
+            "fps_spread_pct": round(100 * (max(fps_all) - min(fps_all))
+                                    / fps, 1),
+        }
     return {
         "fps": fps,
+        **spread_fields,
         "sec_per_package": sec,
         "chunk_packages": L,
         "device_kind": kind,
@@ -403,36 +451,45 @@ def check_fused_parity(H=256, W=512, L=2, tol=0.05, include_optin=True,
     # the fused Pallas decoder takes per-layer precedence over the composed
     # formulation, so the composed layers need their own Pallas-free config
     comp = dataclasses.replace(mcfg, fused_gru="off", fused_decoder="off")
-    _, p_plain = jax.jit(lambda: M.forward_sequence_precomputed(
-        params, off, st0, seq))()
-    legs = [("fused GRU cells + fused decoder", lambda: jax.jit(
-                 lambda: M.forward_sequence_precomputed(
-                     params, mcfg, st0, seq))()[1]),
-            ("composed decoder layers", lambda: jax.jit(
-                 lambda: M.forward_sequence_precomputed(
-                     params, comp, st0, seq))()[1])]
+
+    # ONE compiled program covers the plain + both default-on kernel paths
+    # (round 5: the r04 driver run spent 921 s compiling these as three
+    # separate remote programs, blowing the whole detail budget; one merged
+    # program is one remote compile and the persistent cache keys it once)
+    @jax.jit
+    def run_default_legs():
+        _, pp = M.forward_sequence_precomputed(params, off, st0, seq)
+        _, pf = M.forward_sequence_precomputed(params, mcfg, st0, seq)
+        _, pc = M.forward_sequence_precomputed(params, comp, st0, seq)
+        return pp, pf, pc
+
+    p_plain, p_fused, p_comp = run_default_legs()
+    # (name, is_optin, result-or-thunk); is_optin is an explicit flag — a
+    # leg RENAME must not silently change whether its failure is fatal
+    legs = [("fused GRU cells + fused decoder", False, lambda: p_fused),
+            ("composed decoder layers", False, lambda: p_comp)]
     if include_optin:
         # opt-in kernels (each a separate remote compile — covered on
         # BENCH_FULL sweeps; the budget-bound driver path guards only the
         # default-on kernels): whole-chunk resident-state scratch
         # persistence, the cross-scale pair launch, and the
-        # scalar-prefetched gx-streaming cells — all Mosaic behaviors
+        # gx-streaming cells — all Mosaic behaviors
         # interpret-mode CI cannot validate
         pair = dataclasses.replace(mcfg, fused_decoder="off",
                                    composed_decoder="off", fused_pair="on")
         legs += [
-            ("OPT-IN whole-chunk resident-state kernel", lambda: jax.jit(
+            ("whole-chunk resident-state kernel", True, lambda: jax.jit(
                  lambda: M.forward_sequence_precomputed(
                      params, comp, st0, seq, chunk_cells=True))()[1]),
-            ("OPT-IN cross-scale merged pair launch", lambda: jax.jit(
+            ("cross-scale merged pair launch", True, lambda: jax.jit(
                  lambda: M.forward_sequence_precomputed(
                      params, pair, st0, seq))()[1]),
-            ("OPT-IN gx-streaming cells", lambda: jax.jit(
+            ("gx-streaming cells", True, lambda: jax.jit(
                  lambda: M.forward_sequence_precomputed(
                      params, comp, st0, seq, stream_cells=True))()[1]),
         ]
     worst = 0.0
-    for name, run_leg in legs:
+    for name, is_optin, run_leg in legs:
         try:
             p_alt = run_leg()
         except Exception as e:
@@ -440,9 +497,11 @@ def check_fused_parity(H=256, W=512, L=2, tol=0.05, include_optin=True,
             # availability problem, not a numerics failure of the shipped
             # path (observed 2026-08-18: the tunnel's chipless AOT helper
             # dies on the scalar-prefetched pair/stream programs, PERF.md)
-            # — record it and keep guarding; never trigger the corrected-
-            # headline path for it.  Default-on legs still raise.
-            if name.startswith("OPT-IN"):
+            # — record it LOUDLY and keep guarding; never trigger the
+            # corrected-headline path for it.  Default-on legs still raise.
+            if is_optin:
+                print(f"WARNING: opt-in parity leg '{name}' failed to "
+                      f"compile/run: {str(e)[:300]}", file=sys.stderr)
                 if optin_errors is not None:
                     optin_errors[name] = str(e)[:300]
                 continue
@@ -809,14 +868,37 @@ def main():
     # ---- stage 1: HEADLINE first, JSON out immediately --------------------
     # (round-3 driver run: rc=124 after 25 min, nothing captured — the old
     # main printed the line only after ~15 remote-compiled programs)
-    try:
-        t0 = time.time()
-        torch_fps = bench_torch_reference_fps()
-        details["torch_cpu_reference_fps"] = torch_fps
-        details["timings_s"]["torch_reference"] = round(time.time() - t0, 1)
-    except Exception as e:
-        torch_fps = None
-        details["torch_cpu_reference_fps_error"] = str(e)[:300]
+    # The torch-CPU reference is a fixed quantity of this host (the upstream
+    # model under torch.no_grad on the same shapes) — measuring it costs
+    # ~120 s of the driver budget every run for a number that cannot change.
+    # Budget-bound runs reuse the last measured value from
+    # exp/torch_baseline_cache.json; BENCH_FULL re-measures and refreshes it.
+    torch_cache = os.environ.get(
+        "BENCH_TORCH_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "exp", "torch_baseline_cache.json"))
+    torch_fps = None
+    if not full and os.path.exists(torch_cache):
+        try:
+            with open(torch_cache) as f:
+                torch_fps = json.load(f)["torch_cpu_reference_fps"]
+            details["torch_cpu_reference_fps"] = torch_fps
+            details["torch_cpu_reference_source"] = "cached:" + torch_cache
+        except Exception:
+            torch_fps = None
+    if torch_fps is None:
+        try:
+            t0 = time.time()
+            torch_fps = bench_torch_reference_fps()
+            details["torch_cpu_reference_fps"] = torch_fps
+            details["torch_cpu_reference_source"] = "measured"
+            details["timings_s"]["torch_reference"] = round(time.time() - t0, 1)
+            with open(torch_cache, "w") as f:
+                json.dump({"torch_cpu_reference_fps": torch_fps,
+                           "measured_unix": time.time()}, f)
+        except Exception as e:
+            torch_fps = None
+            details["torch_cpu_reference_fps_error"] = str(e)[:300]
     save()
 
     # best-default-on single-stream configuration first (the shipped bf16
@@ -827,7 +909,8 @@ def main():
             ("jax_fps_single_stream_chunked_bf16_precompute",
              "chunked_bf16_precompute_roofline",
              lambda: bench_chunked_fps(lanes=1, L=16, dtype="bfloat16",
-                                       precompute=True, with_costs=True)),
+                                       precompute=True, with_costs=True,
+                                       spread=3)),
             ("jax_fps_single_stream_chunked_bf16", None,
              lambda: bench_chunked_fps(lanes=1, L=16, dtype="bfloat16")),
             ("jax_fps_single_stream", "single_stream_roofline",
@@ -1053,18 +1136,26 @@ def main():
             jax.block_until_ready(preds)
         details["profile_trace"] = "./profile_trace"
 
-    # value-ordered; estimates are conservative wall-clock (compile + run)
+    # value-ordered (round 5 — r04 learned the parity guard's remote
+    # compiles can eat the whole budget: 921 s vs its 300 s estimate, every
+    # detail item skipped).  The guard now (a) compiles its default legs as
+    # ONE merged program, (b) runs AFTER the four most valuable detail
+    # items, so a cold-cache run still lands voxelizer/train/phased/lane
+    # numbers.  Estimates are conservative COLD-cache wall-clock; the
+    # persistent compile cache (fixed round 5 — it had never written a
+    # single entry) makes warm-cache actuals far smaller, so on a warmed
+    # rig the whole schedule fits the driver budget.
     schedule = [
-        ("fused_parity", _parity, 300),
         ("voxelizer_bench", _vox, 240),
-        ("train_flagship", _train_flagship, 260),
+        ("train_flagship", _train_flagship, 300),
+        ("phased_chunked", _phased_chunked, 480),
+        ("lane64_composed", _lane64, 200),
+        ("fused_parity", _parity, 360),
         ("chunked_f32", _chunked_f32, 180),
         ("latency_mode", _latency, 200),
         ("phased_fps", _phased, 220),
         ("phased_fps_bf16_fused", _phased_fused, 600),
-        ("phased_chunked", _phased_chunked, 300),
-        ("phased_train", _train_phased, 260),
-        ("lane64_composed", _lane64, 200),
+        ("phased_train", _train_phased, 300),
         ("train_f32", _train_f32, 220),
         ("train_bf16", _train_bf16, 220),
         ("train_deferred", _train_deferred, 220),

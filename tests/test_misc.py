@@ -184,6 +184,9 @@ def test_bench_main_headline_first_fallback_and_budget(tmp_path, monkeypatch,
     monkeypatch.chdir(tmp_path)
     monkeypatch.setenv("BENCH_BUDGET_S", "0")     # deadline already passed
     monkeypatch.delenv("BENCH_FULL", raising=False)
+    # isolate the torch-baseline disk cache (round 5): budget-bound runs
+    # reuse the measured CPU number from this file instead of re-measuring
+    monkeypatch.setenv("BENCH_TORCH_CACHE", str(tmp_path / "torch_cache.json"))
     monkeypatch.setattr(bench, "bench_torch_reference_fps", lambda: 2.0)
 
     calls = []
@@ -228,4 +231,30 @@ def test_bench_main_headline_first_fallback_and_budget(tmp_path, monkeypatch,
     # every scheduled detail item was budget-skipped, none executed
     assert "fused_parity" in det["skipped_for_budget"]
     assert len(det["skipped_for_budget"]) >= 10
+    # the guard runs AFTER the four most valuable detail items (round 5 —
+    # r04's guard blew the budget before any of them)
+    skipped = det["skipped_for_budget"]
+    assert skipped.index("fused_parity") > skipped.index("voxelizer_bench")
+    assert skipped.index("fused_parity") > skipped.index("train_flagship")
+    assert skipped.index("fused_parity") > skipped.index("phased_chunked")
+    assert skipped.index("fused_parity") > skipped.index("lane64_composed")
     assert calls == [("chunked", True), ("chunked", False)]
+    # the measured torch number was persisted for reuse by later
+    # budget-bound runs...
+    cache = _json.loads((tmp_path / "torch_cache.json").read_text())
+    assert cache["torch_cpu_reference_fps"] == 2.0
+    # ...and a second run READS it instead of re-measuring
+    monkeypatch.setattr(bench, "bench_torch_reference_fps",
+                        lambda: (_ for _ in ()).throw(
+                            AssertionError("must reuse the cached number")))
+    calls.clear()
+    saved_stdout = _sys.stdout
+    try:
+        bench.main()
+    finally:
+        _sys.stdout = saved_stdout
+    out_lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.strip()]
+    assert _json.loads(out_lines[-1])["vs_baseline"] == round(123.0 / 2.0, 3)
+    det2 = _json.loads((tmp_path / "BENCH_DETAILS.json").read_text())
+    assert det2["torch_cpu_reference_source"].startswith("cached:")
