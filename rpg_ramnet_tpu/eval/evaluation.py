@@ -91,10 +91,74 @@ def save_high_contrast_colormap(idx: int, target: np.ndarray,
     plt.close(fig)
 
 
+def save_debug_panel(idx: int, target_: np.ndarray, prediction_: np.ndarray,
+                     mask: np.ndarray, folder: str, prefix: str = "_",
+                     event_frame: Optional[np.ndarray] = None) -> str:
+    """The reference's --debug 4x3 inspection grid (evaluation.py:246-292):
+    target/prediction/masked-target depth, log target/log prediction/max
+    ratio, abs log diff/abs diff/event overlay, masked log diff/masked abs
+    diff/mask.  The reference plt.show()s an interactive window; headless
+    TPU rigs save the identical figure to `folder` instead.  Returns the
+    written path."""
+    import os
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    eps = 1e-5
+    os.makedirs(folder, exist_ok=True)
+    fig, ax = plt.subplots(ncols=3, nrows=4, figsize=(12, 10))
+    ax[0, 0].imshow(target_, vmin=0, vmax=200)
+    ax[0, 0].set_title("target depth")
+    ax[0, 1].imshow(prediction_, vmin=0, vmax=200)
+    ax[0, 1].set_title("prediction depth")
+    target_debug = target_.copy()
+    target_debug[~mask] = 0
+    ax[0, 2].imshow(target_debug, vmin=0, vmax=200)
+    ax[0, 2].set_title("target depth masked")
+
+    ax[1, 0].imshow(np.log(target_ + eps), vmin=0, vmax=np.log(200))
+    ax[1, 0].set_title("log target")
+    ax[1, 1].imshow(np.log(prediction_ + eps), vmin=0, vmax=np.log(200))
+    ax[1, 1].set_title("log prediction")
+    ax[1, 2].imshow(np.max(np.stack([target_ / (prediction_ + eps),
+                                     prediction_ / (target_ + eps)]), axis=0))
+    ax[1, 2].set_title("max ratio")
+
+    ax[2, 0].imshow(np.abs(np.log(target_ + eps) - np.log(prediction_ + eps)))
+    ax[2, 0].set_title("abs log diff")
+    ax[2, 1].imshow(np.abs(target_ - prediction_))
+    ax[2, 1].set_title("abs diff")
+    if event_frame is not None:
+        a = np.zeros(event_frame.shape[:2] + (3,))
+        a[:, :, 0] = np.sum(event_frame.astype("float32"), axis=-1) > 0
+        a[:, :, 1] = np.clip(target_.copy(), 0, 1)
+        ax[2, 2].imshow(a)
+        ax[2, 2].set_title("event frame")
+
+    log_diff_ = np.abs(np.log(target_ + eps) - np.log(prediction_ + eps))
+    log_diff_[~mask] = 0
+    ax[3, 0].imshow(log_diff_)
+    ax[3, 0].set_title("abs log diff masked")
+    abs_diff_ = np.abs(target_ - prediction_)
+    abs_diff_[~mask] = 0
+    ax[3, 1].imshow(abs_diff_)
+    ax[3, 1].set_title("abs diff masked")
+    ax[3, 2].imshow(mask)
+    ax[3, 2].set_title("mask frame")
+
+    fig.suptitle(f"{prefix}Depth_Evaluation")
+    path = os.path.join(folder, f"debug{prefix}{max(idx, 0):010d}.png")
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
 def add_to_metrics(metrics: Dict[str, float], target_: np.ndarray,
                    prediction_: np.ndarray, mask: np.ndarray,
                    prefix: str = "_", rescale: bool = False,
-                   idx: int = -1, output_folder: Optional[str] = None) -> Dict[str, float]:
+                   idx: int = -1, output_folder: Optional[str] = None,
+                   debug: bool = False,
+                   event_frame: Optional[np.ndarray] = None) -> Dict[str, float]:
     """Accumulate one frame's masked metrics (evaluation.py:201-244)."""
     if len(metrics) == 0:
         metrics.update({k: 0.0 for k in metrics_keywords(prefix="_")})
@@ -128,6 +192,14 @@ def add_to_metrics(metrics: Dict[str, float], target_: np.ndarray,
     }
     for k, v in new_metrics.items():
         metrics[k] = metrics.get(k, 0.0) + float(v)
+    if debug:
+        # reference --debug (evaluation.py:246-292): per-frame metric
+        # printout + the 4x3 inspection grid; saved to disk here (headless)
+        for k, v in new_metrics.items():
+            print("%s : %f" % (k, v))
+        if output_folder is not None:
+            save_debug_panel(idx, target_, prediction_, mask, output_folder,
+                             prefix=prefix, event_frame=event_frame)
     return metrics
 
 
@@ -165,23 +237,23 @@ def evaluate_directories(target_dataset: str, predictions_dataset: str,
         assert predicted_depth.shape == target_depth.shape
 
         depth_mask = np.ones_like(target_depth) > 0
-        before = dict(metrics)
+        # reference --debug gating (evaluation.py:360): panels + per-frame
+        # printout for the selected frame (all frames when debug_idx < 0)
+        dbg = debug and (debug_idx < 0 or idx == debug_idx)
+        if dbg:
+            print(f"frame {idx}:")
         metrics = add_to_metrics(metrics, target_depth, predicted_depth,
                                  depth_mask, prefix="_", rescale=rescale,
-                                 idx=idx, output_folder=output_folder)
-        if debug and (debug_idx < 0 or idx == debug_idx):
-            # per-frame metric printout (reference --debug, evaluation.py:246-248)
-            frame = {k: metrics.get(k, 0.0) - before.get(k, 0.0)
-                     for k in metrics_keywords(prefix="_")[:10]}
-            print(f"frame {idx}:")
-            for k, v in frame.items():
-                print(f"  {k} : {v:f}")
+                                 idx=idx, output_folder=output_folder,
+                                 debug=dbg)
         metrics2.append(eval_metrics(predicted_depth[None, None],
                                      target_depth[None, None]))
         for d in DEPTH_VALUES:
             m = np.nan_to_num(target_depth) < d
             add_to_metrics(metrics, target_depth, predicted_depth,
-                           depth_mask & m, prefix=f"_{d}_")
+                           depth_mask & m, prefix=f"_{d}_", idx=idx,
+                           output_folder=output_folder if dbg else None,
+                           debug=dbg)
 
         if use_event_masks:
             import cv2
@@ -192,10 +264,15 @@ def evaluate_directories(target_dataset: str, predictions_dataset: str,
                 ev = cv2.resize(ev, (w, h), interpolation=cv2.INTER_LINEAR)
             event_mask = ev.astype(np.float32).sum(axis=-1) > 0
             add_to_metrics(metrics, target_depth, predicted_depth, event_mask,
-                           prefix="event_masked_", rescale=rescale)
+                           prefix="event_masked_", rescale=rescale, idx=idx,
+                           output_folder=output_folder if dbg else None,
+                           debug=dbg, event_frame=ev)
             for d in DEPTH_VALUES:
                 m = np.nan_to_num(target_depth) < d
                 add_to_metrics(metrics, target_depth, predicted_depth,
-                               event_mask & m, prefix=f"event_masked_{d}_")
+                               event_mask & m, prefix=f"event_masked_{d}_",
+                               idx=idx,
+                               output_folder=output_folder if dbg else None,
+                               debug=dbg, event_frame=ev)
 
     return {k: v / num_it for k, v in metrics.items()}

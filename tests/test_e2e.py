@@ -359,6 +359,25 @@ def test_full_pipeline_cli(workspace):
     else:
         raise AssertionError("abs_rel_diff not printed")
 
+    # --debug: the reference's per-frame inspection grids
+    # (RAM_Net/evaluation.py:246-292) saved headlessly to --output_folder,
+    # plus the per-frame metric printout
+    dbg_dir = str(ws / "eval_debug")
+    r = run([sys.executable, "evaluation.py",
+             "--target_dataset", gt_dir,
+             "--predictions_dataset", npy_dir,
+             "--clip_distance", "80.0",
+             "--reg_factor", "3.70378",
+             "--crop_ymax", "260",
+             "--debug", "--idx", "0",
+             "--output_folder", dbg_dir], env_extra=env)
+    panels = [f for f in os.listdir(dbg_dir) if f.startswith("debug")]
+    assert any(f == "debug_0000000000.png" for f in panels), panels
+    # cutoff-prefixed panels for the same frame too (reference passes
+    # debug into every add_to_metrics call)
+    assert any("_80_" in f for f in panels), panels
+    assert "frame 0:" in r.stdout
+
 
 @pytest.mark.slow
 def test_test_cli_with_mesh(workspace, tmp_path):
