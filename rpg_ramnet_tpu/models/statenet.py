@@ -353,7 +353,16 @@ def gru_x_gates(params, cfg: ModelConfig, xs: Sequence[Any],
                    else "state_combination_images"]
     fn = (L.conv_lstm_x_gates if cfg.state_combination == "convlstm"
           else L.conv_gru_x_gates)
-    return [fn(c["recurrent_block"], x) for c, x in zip(combs, xs)]
+    # remat-policy tag (trainer.remat_policy='gru_gx', with
+    # trainer.precompute_x): lets the per-step jax.checkpoint SAVE the
+    # per-scale x-side gate pre-activations so the backward skips the
+    # head+encoder+gate-conv recompute entirely (~60% of the step's
+    # recomputed MACs).  Identity outside a policy'd checkpoint.  Memory
+    # cost is the point of the A/B: ~135 MB/sweep at the flagship shapes,
+    # stacked over all L steps of the window.
+    return [jax.ad_checkpoint.checkpoint_name(fn(c["recurrent_block"], x),
+                                              "gru_gx")
+            for c, x in zip(combs, xs)]
 
 
 def _use_fused_cell(cfg: ModelConfig, hidden, lstm: bool = False) -> bool:

@@ -511,6 +511,43 @@ def test_remat_policy_equivalence():
             outs["none"][1], outs["enc_out"][1])
 
 
+def test_remat_policy_gru_gx_equivalence():
+    """trainer.remat_policy='gru_gx' (round 5) saves the tagged per-scale
+    x-side gate pre-activations inside the per-step jax.checkpoint on the
+    precompute_x path — the backward skips the head+encoder+gate-conv
+    recompute.  Loss and every gradient must match the save-nothing
+    precompute_x run exactly."""
+    import jax.numpy as jnp
+    from rpg_ramnet_tpu.train.sequence_loss import make_sequence_loss
+    from rpg_ramnet_tpu.core.config import Config
+    rng = np.random.RandomState(1)
+    B, L, K, H, W = 2, 2, 3, 16, 16
+    batch = {"events": jnp.asarray(rng.randn(B, L, K, H, W, 5).astype(np.float32)),
+             "image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32)),
+             "depth_events": jnp.asarray(rng.rand(B, L, K, H, W, 1).astype(np.float32)),
+             "depth_image": jnp.asarray(rng.rand(B, L, H, W, 1).astype(np.float32))}
+    base = Config.from_dict({**tiny_config().raw,
+                             "trainer": {**tiny_config().raw["trainer"],
+                                         "deferred_decode": True,
+                                         "precompute_x": True}})
+    pol = Config.from_dict({**base.raw,
+                            "trainer": {**base.raw["trainer"],
+                                        "remat_policy": "gru_gx"}})
+    params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), base.model)
+    state0 = ERGB2DepthRecurrent.init_state(base.model, B, H, W)
+    outs = {}
+    for name, cfg in (("none", base), ("gru_gx", pol)):
+        loss_fn = make_sequence_loss(cfg, remat=True)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state0, batch)
+        outs[name] = (float(loss), grads)
+    assert abs(outs["none"][0] - outs["gru_gx"][0]) < 1e-6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        outs["none"][1], outs["gru_gx"][1])
+
+
 def test_precompute_x_fused_bwd_kernel_training_grads_match(monkeypatch):
     """Same full-training-path equivalence, with the Pallas BACKWARD kernel
     (gru_hside._BWD_KERNEL) on the remat'd scan's reverse pass: loss and all
