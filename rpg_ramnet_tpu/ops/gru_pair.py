@@ -26,8 +26,19 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .gru_hside import (_fold3, _gru_cell_math_v2, _halos, _pick_tile_h)
+
+# XLA's aggressive-VMEM-placement pass may assign this kernel's OUTPUTS to
+# VMEM when the surrounding program keeps h resident between launches (seen
+# in the chunked record program: outputs 6.3 MB S(1) + the kernel's ~10.8 MB
+# double-buffered blocks = 17.08 MB > the 16 MB default scoped-vmem cap, so
+# the FULL-program compile died while the standalone kernel fit — round-5
+# isolation, exp/pair_e2e_bisect.py / pair_e2e_errors.txt).  Raise the cap
+# for this kernel: v5e has 128 MiB physical VMEM; 32 MiB covers blocks +
+# both outputs with headroom.
+_VMEM_LIMIT = 32 * 1024 * 1024
 
 # Test hook: run the kernel in interpret mode (CPU tests).
 _INTERPRET = False
@@ -104,6 +115,8 @@ def _run_pair(h0, g0z, g0r, g0o, w0ur, w0o,
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(h0, h0t, h0b, g0z, g0r, g0rt, g0rb, g0o, w0ur, w0o,
       h1, h1t, h1b, g1z, g1r, g1rt, g1rb, g1o, w1ur, w1o)
 

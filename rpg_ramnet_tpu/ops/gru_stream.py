@@ -34,6 +34,11 @@ from .gru_hside import _conv9, _fold3, _pick_tile_h, supports  # noqa: F401
 # Test hook: run in interpret mode (CPU tests).
 _INTERPRET = False
 
+# Same scoped-VMEM hazard as ops/gru_pair (see the note there): when XLA's
+# VMEM-placement pass keeps this kernel's outputs in VMEM inside the big
+# streaming program, blocks + outputs exceed the 16 MB default cap.
+_VMEM_LIMIT = 32 * 1024 * 1024
+
 
 def _stream_cell_math(i, h_prev, h_cur, h_next, gx, grt, grb, w_ur, w_o,
                       *, tile_h: int, H: int, W: int, C: int):
@@ -124,6 +129,8 @@ def _run_stream(sel, h, gx_seq, gxr_top, gxr_bot, w_ur, w_o, tile_h,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, W, C), h.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(sel, h, h, h, gx_seq, gxr_top, gxr_bot, w_ur, w_o)
 
 
@@ -182,6 +189,8 @@ def _run_stream_pair(sel, h0, gx0, g0t, g0b, w0ur, w0o,
         out_shape=(jax.ShapeDtypeStruct((H0, W0, C0), h0.dtype),
                    jax.ShapeDtypeStruct((H1, W1, C1), h1.dtype)),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(sel, h0, h0, h0, gx0, g0t, g0b, w0ur, w0o,
       h1, h1, h1, gx1, g1t, g1b, w1ur, w1o)
 
