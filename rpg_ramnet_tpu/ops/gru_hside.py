@@ -36,6 +36,20 @@ from jax.experimental import pallas as pl
 # pltpu.force_tpu_interpret_mode whose ordered-callback effect does not).
 _INTERPRET = False
 
+# Optional Mosaic scoped-VMEM cap override (bytes).  None = the 16 MB XLA
+# default, which the shipped record program fits.  Probes raise it when a
+# SURROUNDING program's VMEM placement pushes kernel outputs into the
+# scoped allocation (the round-5 gru_pair finding, PERF.md) — e.g. the
+# lax.scan unroll>1 record variants.
+_VMEM_LIMIT = None
+
+
+def _cparams(interpret):
+    if interpret or _VMEM_LIMIT is None:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _conv9(src, w3, rows_out, C):
     """3x3 'same' conv as 3 full-width MXU dots.  src [R, W, C] carries a
@@ -225,6 +239,7 @@ def _run_v2(h, gxz, gxr, gxo, w_ur, w_o, tile_h, interpret=False,
                   wspec_ur, wspec_o],
         out_specs=out_specs,
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )(h, h_top, h_bot, gxz, gxr, gxr_top, gxr_bot, gxo, w_ur, w_o)
 
 
@@ -301,6 +316,7 @@ def _run(h, gxz, gxr, gxo, w_ur, w_o, tile_h, interpret=False,
                   wspec_ur, wspec_o],
         out_specs=out_specs,
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )(h, h, h, gxz, gxr, gxr, gxr, gxo, w_ur, w_o)
 
 
@@ -375,6 +391,7 @@ def _run_lstm(h, c, gx, w4, tile_h, interpret=False, residuals=False):
         in_specs=[prv, cur, nxt, cur, gspec, wspec],
         out_specs=out_specs,
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )(h, h, h, c, gx, w4)
 
 
@@ -538,6 +555,7 @@ def _run_bwd(g, acts, h, wbur, wbo, tile_h, interpret=False):
                   wb_ur, wb_o],
         out_specs=(blk(), blk(3 * C)),
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )(g, g_top, g_bot, acts, a_top, a_bot, h, h_top, h_bot, wbur, wbo)
 
 
@@ -775,6 +793,7 @@ def _run_full(x, h, b_ur, b_o, w_ur, w_o, tile_h, interpret=False):
                   bspec_ur, bspec_o, wspec_ur, wspec_o],
         out_specs=cur,
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )(x, x, x, h, h, h, b_ur, b_o, w_ur, w_o)
 
 
