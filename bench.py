@@ -658,7 +658,8 @@ def bench_phased_fps(H=256, W=352, n_lo=2, n_hi=10, dtype="float32",
 
 
 def bench_phased_chunked_fps(H=256, W=352, L=8, n_lo=1, n_hi=3,
-                             dtype="float32", fused_gru="off", lanes=1):
+                             dtype="float32", fused_gru="off", lanes=1,
+                             composed_decoder="auto"):
     """Offline chunked throughput for the irregular-timestamp regime
     (BASELINE config 3 / MVSEC recorded data): scan encoders + phased
     cells over L packages, decode all L*(K+1) snapshots in ONE batch
@@ -681,8 +682,15 @@ def bench_phased_chunked_fps(H=256, W=352, L=8, n_lo=1, n_hi=3,
         "num_encoders": 3, "base_num_channels": 32, "num_residual_blocks": 2,
         "use_upsample_conv": True, "norm": "none", "every_x_rgb_frame": 5,
         "baseline": False, "compute_dtype": dtype, "fused_gru": fused_gru,
-        "use_phased_arch": True, "spatial_resolution": [H, W]})
+        "use_phased_arch": True, "spatial_resolution": [H, W],
+        "composed_decoder": composed_decoder})
     allow_fused = fused_gru == "on"
+    # batched_decode is a bit-identical-contract engine, so the composed
+    # decoder (float-summation-order deviation) is an EXPLICIT opt-in here,
+    # like the lane engines.  Round-5 phased trace: the 48-deep decode
+    # batch is exactly the composed win region, and data formatting is 26%
+    # of this program vs the flagship's 10.5% (exp/trace_phased_chunked.py).
+    allow_comp = composed_decoder == "on"
     K = mcfg.every_x_rgb_frame
     params = ERGB2DepthRecurrent.init_params(jax.random.PRNGKey(0), mcfg)
     state0 = ERGB2DepthRecurrent.init_state(mcfg, lanes, H, W)
@@ -712,7 +720,7 @@ def bench_phased_chunked_fps(H=256, W=352, L=8, n_lo=1, n_hi=3,
             seq_i["times_image_t"] = seq["times_image_t"] + dt
             st, preds = ERGB2DepthRecurrent.forward_sequence_batched_decode(
                 params, mcfg, st, seq_i, allow_fused=allow_fused,
-                allow_fused_decoder=True)
+                allow_fused_decoder=True, allow_composed=allow_comp)
             acc = acc + sum(jnp.sum(p.astype(jnp.float32))
                             for p in preds.values())
             return (st, acc)
@@ -1044,10 +1052,16 @@ def main():
 
     def _phased_chunked():
         # offline chunked throughput (deferred batched decode) for the
-        # irregular-timestamp regime — the recorded-MVSEC evaluation mode;
-        # A/B the fused phased cells on top
+        # irregular-timestamp regime — the recorded-MVSEC evaluation mode.
+        # The composed-decoder opt-in leg is the round-5 measured best
+        # (552.5 -> 609.8, +10.4% — exp/phased_composed_bench.json: the
+        # 48-deep decode batch is the composed win region); A/B the fused
+        # phased cells on top of the plain point.
         details["jax_fps_phased_chunked_256x352_bf16"] = \
             bench_phased_chunked_fps(dtype="bfloat16")
+        details["jax_fps_phased_chunked_256x352_bf16_composed"] = \
+            bench_phased_chunked_fps(dtype="bfloat16",
+                                     composed_decoder="on")
         details["jax_fps_phased_chunked_256x352_bf16_fused"] = \
             bench_phased_chunked_fps(dtype="bfloat16", fused_gru="on")
 
