@@ -1062,6 +1062,13 @@ def main():
         details["jax_fps_phased_chunked_256x352_bf16_composed"] = \
             bench_phased_chunked_fps(dtype="bfloat16",
                                      composed_decoder="on")
+        # lane-batched aggregate throughput (test.py --lanes 2): the
+        # round-5 measured best for offline multi-sequence MVSEC eval
+        # (611.8 -> 712.9, +16.5% — exp/phased_lanes_bench.json; lanes=4
+        # at L=4 is 696.6, so 2 lanes is the knee on 16 GiB HBM).
+        details["jax_fps_phased_chunked_256x352_bf16_composed_l2"] = \
+            bench_phased_chunked_fps(dtype="bfloat16", lanes=2,
+                                     composed_decoder="on")
         details["jax_fps_phased_chunked_256x352_bf16_fused"] = \
             bench_phased_chunked_fps(dtype="bfloat16", fused_gru="on")
 
@@ -1162,7 +1169,7 @@ def main():
     schedule = [
         ("voxelizer_bench", _vox, 240),
         ("train_flagship", _train_flagship, 300),
-        ("phased_chunked", _phased_chunked, 480),
+        ("phased_chunked", _phased_chunked, 600),
         ("lane64_composed", _lane64, 200),
         ("fused_parity", _parity, 360),
         ("chunked_f32", _chunked_f32, 180),
